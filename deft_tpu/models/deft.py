@@ -1,0 +1,168 @@
+"""DEFTNet: the full joint detection + embedding network.
+
+Composes the trunk (DLASeg by default), per-head conv towers
+(``/root/reference/src/lib/model/networks/base_model.py:23-103``: 3x3 conv
+(head_conv ch) -> ReLU -> 1x1 out; heatmap bias initialized to prior_bias
+= -4.6, opts.py:151), and the AFE matching head (owned by the trunk in the
+reference, ``dla.py:765``).
+
+Exposes the jit-friendly entry points used by the inference runtime:
+
+* ``__call__(image, pre_img, pre_hm)`` -> ``(outputs, feature_maps)``
+* ``extract(feature_maps, centers)`` -> per-object embeddings
+* ``detect(image, ...)`` -> sigmoided + decoded top-K detections **and**
+  their embeddings in one program (the BASELINE north-star fusion)
+* ``window_similarity(...)`` -> batched affinity vs the track ring buffer
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from deft_tpu.models.afe import AFE
+from deft_tpu.models.dla import DLASeg
+from deft_tpu.ops import decode as decode_ops
+
+
+def clamped_sigmoid(x):
+    """_sigmoid: sigmoid clamped to [1e-4, 1-1e-4] (model/utils.py:15-17)."""
+    return jnp.clip(jax.nn.sigmoid(x), 1e-4, 1.0 - 1e-4)
+
+
+class HeadTower(nn.Module):
+    """One output head (base_model.py:36-94)."""
+
+    out_channels: int
+    convs: Sequence[int]
+    head_kernel: int = 3
+    prior_bias: Optional[float] = None  # set for 'hm'
+
+    @nn.compact
+    def __call__(self, x):
+        if len(self.convs) > 0:
+            k = self.head_kernel
+            x = nn.Conv(self.convs[0], (k, k), padding=((k // 2, k // 2),) * 2,
+                        use_bias=True, name="conv0")(x)
+            x = nn.relu(x)
+            for i, c in enumerate(self.convs[1:], start=1):
+                x = nn.Conv(c, (1, 1), use_bias=True, name=f"conv{i}")(x)
+                x = nn.relu(x)
+        bias_init = (
+            nn.initializers.constant(self.prior_bias)
+            if self.prior_bias is not None
+            else nn.initializers.zeros
+        )
+        return nn.Conv(self.out_channels, (1, 1), use_bias=True,
+                       bias_init=bias_init, name="out")(x)
+
+
+class DEFTNet(nn.Module):
+    """Trunk + heads + AFE."""
+
+    heads: Dict[str, int]
+    head_convs: Dict[str, Tuple[int, ...]]
+    dataset: str = "mot"
+    dla_node: str = "dcn"
+    max_object: int = 100
+    prior_bias: float = -4.6
+    head_kernel: int = 3
+    with_pre_img: bool = False
+    with_pre_hm: bool = False
+    align_corners: bool = True
+
+    def setup(self):
+        self.trunk = DLASeg(
+            node_type=self.dla_node,
+            with_pre_img=self.with_pre_img,
+            with_pre_hm=self.with_pre_hm,
+            name="trunk",
+        )
+        self.head_towers = {
+            h: HeadTower(
+                c,
+                tuple(self.head_convs.get(h, ())),
+                head_kernel=self.head_kernel,
+                prior_bias=self.prior_bias if "hm" in h else None,
+                name=f"head_{h}",
+            )
+            for h, c in self.heads.items()
+        }
+        self.afe = AFE(dataset=self.dataset, max_object=self.max_object,
+                       align_corners=self.align_corners, name="afe")
+
+    # ---- detection forward ---------------------------------------------------
+
+    def __call__(self, image, pre_img=None, pre_hm=None, train: bool = False):
+        """-> ({head: [B, H/4, W/4, C]}, feature_maps[13])."""
+        y, feature_maps = self.trunk(image, pre_img, pre_hm, train)
+        outputs = {h: tower(y) for h, tower in self.head_towers.items()}
+        return outputs, feature_maps
+
+    def img2feats(self, image, train: bool = False):
+        return self.trunk(image, None, None, train)
+
+    # ---- AFE entry points (thin re-exports so one variable set serves all) ---
+
+    def extract(self, feature_maps, centers):
+        return self.afe.extract(feature_maps, centers)
+
+    def afe_forward(self, fm_pre, fm_next, centers_pre, centers_next,
+                    train: bool = False):
+        return self.afe(fm_pre, fm_next, centers_pre, centers_next, train)
+
+    def stacker_features(self, e_pre, e_next, n_pre, n_next):
+        return self.afe.stacker_features(e_pre, e_next, n_pre, n_next)
+
+    def window_similarity(self, window_embeds, window_counts, e_next, n_next):
+        return self.afe.window_similarity(window_embeds, window_counts,
+                                          e_next, n_next)
+
+    def train_forward(self, image, pre_image, centers_pre, centers_next,
+                      train: bool = True):
+        """Joint training step forward (trainer.py:149-170 semantics):
+        detection forward on the current frame, a second full trunk pass on
+        the pre frame, and the AFE affinity between the two center sets.
+        Returns (head outputs, [B, N+1, N+1] affinity)."""
+        outputs, fm_next = self(image, None, None, train)
+        _, fm_pre = self.trunk(pre_image, None, None, train)
+        aff = self.afe(fm_pre, fm_next, centers_pre, centers_next, train)
+        return outputs, aff
+
+    # ---- fused per-frame inference program ------------------------------------
+
+    def detect(self, image, k: int = 100, pre_img=None, pre_hm=None):
+        """One jitted program: forward -> sigmoid -> decode -> embed-extract.
+
+        Returns (dets, embeddings):
+          dets: dict of [B, K, ...] decoded tensors (output-grid coords),
+          embeddings: [B, K, E] AFE embeddings sampled at the decoded
+            (amodal) box centers, normalized to [-1, 1] over the INPUT
+            resolution like the tracker's convert_detection (image.py:391-412;
+            centers use the box center in input pixels = 4x the output grid).
+        """
+        outputs, feature_maps = self(image, pre_img, pre_hm, train=False)
+        outputs = dict(outputs)
+        outputs["hm"] = clamped_sigmoid(outputs["hm"])
+        dets = decode_ops.generic_decode(outputs, k=k)
+
+        bboxes = dets.get("bboxes")
+        if bboxes is None:
+            cts = dets["cts"]
+        else:
+            cts = jnp.stack(
+                [(bboxes[..., 0] + bboxes[..., 2]) / 2.0,
+                 (bboxes[..., 1] + bboxes[..., 3]) / 2.0],
+                axis=-1,
+            )
+        out_h = image.shape[1] // 4
+        out_w = image.shape[2] // 4
+        centers = jnp.stack(
+            [2.0 * cts[..., 0] / out_w - 1.0, 2.0 * cts[..., 1] / out_h - 1.0],
+            axis=-1,
+        )
+        embeddings = self.extract(feature_maps, centers)
+        return dets, embeddings

@@ -1,0 +1,61 @@
+"""Model factory: arch-string -> network (model/model.py:23-37 equivalent).
+
+``create_model("dla_34", cfg)`` parses the reference arch convention
+("name_layers") and returns an un-initialized flax module; ``init_model``
+produces the parameter/state pytrees.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from deft_tpu.config import Config
+from deft_tpu.models.deft import DEFTNet
+
+_SUPPORTED = ("dla", "resdcn", "res", "generic", "mobilenet")
+
+
+def create_model(arch: str, cfg: Config) -> DEFTNet:
+    num_layers = int(arch[arch.find("_") + 1:]) if "_" in arch else 0
+    name = arch[: arch.find("_")] if "_" in arch else arch
+    if name == "dla":
+        if num_layers != 34:
+            raise NotImplementedError(f"dla_{num_layers} not yet ported; use dla_34")
+        return DEFTNet(
+            heads=dict(cfg.heads),
+            head_convs={h: tuple(c) for h, c in cfg.head_convs.items()},
+            dataset=cfg.dataset,
+            dla_node=cfg.dla_node,
+            max_object=cfg.max_object,
+            prior_bias=cfg.prior_bias,
+            head_kernel=cfg.head_kernel,
+            with_pre_img=cfg.pre_img,
+            with_pre_hm=cfg.pre_hm,
+            align_corners=cfg.align_corners,
+        )
+    if name == "generic":
+        from deft_tpu.models.generic import build_generic
+        return build_generic(cfg)
+    raise ValueError(f"unknown arch {arch}; supported: {_SUPPORTED}")
+
+
+def init_model(model: DEFTNet, cfg: Config, rng: Optional[jax.Array] = None,
+               batch: int = 1):
+    """Initialize parameters with a dummy forward. Returns (params, batch_stats)."""
+    if rng is None:
+        rng = jax.random.PRNGKey(cfg.seed)
+    image = jnp.zeros((batch, cfg.input_h, cfg.input_w, 3), jnp.float32)
+    centers = jnp.zeros((batch, cfg.max_object, 2), jnp.float32)
+
+    def init_fn(m):
+        outs, fmaps = m(image, train=False)
+        # touch the AFE so its params exist
+        e = m.extract(fmaps, centers)
+        m.afe.affinity(e, e, train=False)
+        return outs
+
+    variables = jax.jit(lambda r: model.init(r, method=init_fn))(rng)
+    return variables["params"], variables.get("batch_stats", {})

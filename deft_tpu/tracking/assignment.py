@@ -1,0 +1,54 @@
+"""Thresholded rectangular linear assignment.
+
+Replaces ``lap.lapjv(cost, extend_cost=True, cost_limit=thresh)``
+(``/root/reference/src/lib/utils/matching.py:40-55``) with scipy's
+Jonker-Volgenant solver plus the standard cost-limit augmentation: pad the
+cost matrix to (n+m) x (n+m) with ``cost_limit`` on the dummy diagonal blocks,
+so any real pair costing more than the limit loses to its dummy.  This
+reproduces lapjv's extend_cost/cost_limit semantics exactly (same optimal
+objective), and stays on host -- the only non-jitted stage of the per-frame
+pipeline, per the BASELINE design.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+
+def linear_assignment(cost: np.ndarray, thresh: float) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (matches [K, 2], unmatched_rows, unmatched_cols)."""
+    cost = np.asarray(cost, dtype=np.float64)
+    if cost.size == 0:
+        return (
+            np.empty((0, 2), dtype=int),
+            np.arange(cost.shape[0]),
+            np.arange(cost.shape[1]),
+        )
+    n, m = cost.shape
+    # lap.lapjv's extension charges cost_limit/2 per dummy assignment, so an
+    # unmatched (row, col) pair totals cost_limit and a real pair wins iff its
+    # cost <= cost_limit.  Restricting each row/col to its own dummy (diagonal)
+    # is equivalent because all dummies are interchangeable.
+    big = np.full((n + m, n + m), 1e9)
+    big[:n, :m] = np.minimum(cost, 1e9)
+    big[n:, m:] = 0.0
+    np.fill_diagonal(big[:n, m:], thresh / 2.0)
+    np.fill_diagonal(big[n:, :m], thresh / 2.0)
+    rows, cols = linear_sum_assignment(big)
+
+    matches = []
+    matched_r = np.zeros(n, dtype=bool)
+    matched_c = np.zeros(m, dtype=bool)
+    for r, c in zip(rows, cols):
+        if r < n and c < m:
+            matches.append([r, c])
+            matched_r[r] = True
+            matched_c[c] = True
+    return (
+        np.asarray(matches, dtype=int).reshape(-1, 2),
+        np.where(~matched_r)[0],
+        np.where(~matched_c)[0],
+    )

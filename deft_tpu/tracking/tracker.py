@@ -1,0 +1,706 @@
+"""Online track management: ring-buffer recorder, STrack lifecycle, cascade.
+
+Rebuild of ``/root/reference/src/lib/utils/tracker.py`` with a TPU-first
+split of responsibilities:
+
+* ``DeviceFeatureRecorder`` keeps the 50-frame embedding window as a
+  fixed-shape device array ``[W, max_object, E]`` and evaluates the AFE
+  similarity of the current frame against ALL buffered frames in ONE batched
+  jitted call (the reference loops <= 50 separate GPU calls per frame,
+  tracker.py:76-90).  Only the final [W, N, N+1] similarity tensor crosses to
+  host, where the temporal decay weighting is applied.
+
+* ``STrack`` / ``Tracker`` reproduce the association cascade host-side
+  (appearance -> motion fusion -> second-chance AFE -> IoU -> lifecycle,
+  tracker.py:723-1056) including the dataset-specific branches: the nuScenes
+  per-class 3-D IoU pre-step, the KITTI car filter (applied by the caller),
+  and the age-based removal windows.
+
+The tracker never touches the model: embeddings arrive pre-computed from the
+fused detect program, and similarity comes through an injected callable, so
+the whole module is testable without a network.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from deft_tpu.tracking import matching
+from deft_tpu.tracking.basetrack import BaseTrack, IdAllocator, TrackState
+from deft_tpu.tracking.kalman import KalmanFilter
+from deft_tpu.tracking.motion_lstm import LSTMMotion
+
+MAX_RECORD_FRAME = 50
+DECAY = 1.0
+DECAY2 = 0.01
+MAX_TRACK_NODE = 50
+
+
+def freshness_window(dataset: str) -> int:
+    """Frames considered 'fresh' for full-strength similarity
+    (tracker.py:77-82)."""
+    if dataset == "kitti_tracking":
+        return 5
+    if dataset == "nuscenes":
+        return 3
+    return 10
+
+
+class Node:
+    """Pointer into the recorder: (frame_index, detection index)."""
+
+    __slots__ = ("frame_index", "id")
+
+    def __init__(self, frame_index: int, det_id: int):
+        self.frame_index = frame_index
+        self.id = det_id
+
+
+class DeviceFeatureRecorder:
+    """Fixed-shape on-device embedding window + host-side similarity cache.
+
+    ``similarity_fn(window_embeds [W,M,E], counts [W], cur [M,E], n_cur)``
+    must return a [W, M, M+1] array (AFE.window_similarity); it is invoked
+    once per frame.
+    """
+
+    def __init__(self, dataset: str, max_object: int, embed_dim: int,
+                 similarity_fn: Callable, window: int = MAX_RECORD_FRAME):
+        import jax.numpy as jnp
+
+        self._jnp = jnp
+        self.dataset = dataset
+        self.window = window
+        self.max_object = max_object
+        self.embed_dim = embed_dim
+        self.similarity_fn = similarity_fn
+
+        self.embeds = jnp.zeros((window, max_object, embed_dim), jnp.float32)
+        self.counts = np.zeros((window,), np.int32)
+        self.frames: List[int] = []            # buffered frame ids, oldest first
+        self.slot_of: Dict[int, int] = {}
+        self.all_boxes: Dict[int, np.ndarray] = {}
+        self.all_similarity: Dict[int, Dict[int, np.ndarray]] = {}
+
+    def update(self, frame_index: int, features, boxes: np.ndarray):
+        """features: [n, E] (device or numpy); boxes: [n, 4] tlbr."""
+        jnp = self._jnp
+        if frame_index in self.slot_of:
+            return
+        n = int(features.shape[0])
+        if len(self.frames) == self.window:
+            evict = self.frames.pop(0)
+            slot = self.slot_of.pop(evict)
+            del self.all_boxes[evict]
+            del self.all_similarity[evict]
+        else:
+            slot = len(self.frames)
+
+        padded = jnp.zeros((self.max_object, self.embed_dim), jnp.float32)
+        if n > 0:
+            padded = padded.at[:n].set(jnp.asarray(features)[: self.max_object])
+        self.embeds = self.embeds.at[slot].set(padded)
+        self.counts[slot] = min(n, self.max_object)
+
+        self.frames.append(frame_index)
+        self.slot_of[frame_index] = slot
+        self.all_boxes[frame_index] = boxes
+
+        sims = np.asarray(
+            self.similarity_fn(
+                self.embeds, jnp.asarray(self.counts), padded,
+                jnp.int32(min(n, self.max_object)),
+            )
+        )  # [W, M, M+1]
+
+        m_frame = freshness_window(self.dataset)
+        self.all_similarity[frame_index] = {}
+        for pre_frame in self.frames[:-1]:
+            df = frame_index - pre_frame
+            delta = (DECAY if df < m_frame else DECAY2) ** (df / 3.0)
+            s = self.slot_of[pre_frame]
+            pre_n = int(self.counts[s])
+            self.all_similarity[frame_index][pre_frame] = (
+                sims[s][:pre_n, : n + 1] * delta
+            )
+
+
+class STrack(BaseTrack):
+    """Single-track state (tracker.py:142-628)."""
+
+    def __init__(self, tlwh, score, node: Node, use_lstm: bool = True,
+                 dataset: str = "mot", ddd_bbox=None, depth=None,
+                 org_ddd_box=None, classe=None, ddd_submission=None):
+        self._tlwh = np.asarray(tlwh, dtype=np.float64)
+        self.kalman_filter = None
+        self.mean, self.covariance = None, np.eye(4)
+        self.is_activated = False
+        self.depth = depth
+        self.score = score
+        self.tracklet_len = 0
+        self.classe = classe
+        self.dataset = dataset
+        self.use_lstm = use_lstm
+
+        self.nodes: List[Node] = [node]
+        self.age = 0
+        self.updated_frame = 0
+
+        # LSTM feature state
+        self.last_h = -1.0
+        self.last_w = -1.0
+        self.last_l = -1.0
+        self.last_cx = 0.0
+        self.last_cy = 0.0
+        self.last_cz = 0.0
+        self.last_rot_y = 0.0
+        self.first_time = True
+        self.last_frame_id = -1
+        self.hn = np.zeros((1, 128), np.float32)
+        self.cn = np.zeros((1, 128), np.float32)
+        self.future_predictions: Dict[int, np.ndarray] = {}
+        self.observations: List[List[float]] = []
+        self.observations_tlwh: List[np.ndarray] = [self._tlwh.copy()]
+        self.observations_ddd_bboxes: List[np.ndarray] = []
+
+        self.ddd_bbox = ddd_bbox
+        self.org_ddd_box = org_ddd_box
+        self.ddd_submission = ddd_submission
+
+    # ---- similarity ---------------------------------------------------------
+
+    def get_similarity(self, frame_index: int, recorder: DeviceFeatureRecorder):
+        """Median of this track's node rows in the current-frame similarity
+        (tracker.py:219-252): last <= mm node rows (mm = 2 nuScenes / 4 else),
+        real columns and the unmatched column median'd separately."""
+        rows = []
+        for n in self.nodes:
+            if frame_index - n.frame_index >= MAX_TRACK_NODE:
+                continue
+            table = recorder.all_similarity.get(frame_index, {})
+            row = table.get(n.frame_index)
+            if row is None or n.id >= row.shape[0]:
+                continue
+            rows.append(row[n.id, :])
+        if not rows:
+            return None
+        a = np.array(rows)
+        mm = 2 if self.dataset == "nuscenes" else 4
+        if a.shape[0] > mm:
+            a1 = a[a.shape[0] - mm:, : a.shape[1] - 1]
+            a2 = np.median(a[a.shape[0] - mm:, -1:], axis=0)
+            return np.concatenate((np.median(a1, axis=0), a2), axis=0)
+        return np.median(a, axis=0)
+
+    # ---- motion -------------------------------------------------------------
+
+    def predict(self):
+        if not self.use_lstm:
+            mean_state = self.mean.copy()
+            if self.state != TrackState.Tracked:
+                mean_state[7] = 0
+            self.mean, self.covariance = self.kalman_filter.predict(
+                mean_state, self.covariance
+            )
+
+    @staticmethod
+    def multi_predict(stracks: Sequence["STrack"], kalman: KalmanFilter):
+        if len(stracks) == 0:
+            return
+        multi_mean = np.asarray([st.mean.copy() for st in stracks])
+        multi_cov = np.asarray([st.covariance for st in stracks])
+        for i, st in enumerate(stracks):
+            if st.state != TrackState.Tracked:
+                multi_mean[i][7] = 0
+        multi_mean, multi_cov = kalman.multi_predict(multi_mean, multi_cov)
+        for st, mean, cov in zip(stracks, multi_mean, multi_cov):
+            st.mean = mean
+            st.covariance = cov
+
+    def prediction_at_frame(self, frame_id: int) -> np.ndarray:
+        max_fut = 5 if self.dataset == "nuscenes" else 6
+        key = frame_id - self.frame_id
+        if 1 <= key < max_fut and key in self.future_predictions:
+            return self.future_predictions[key]
+        return self.future_predictions[max_fut - 1]
+
+    def prediction_at_frame_tlbr(self, frame_id: int) -> np.ndarray:
+        ret = self.prediction_at_frame(frame_id).copy()   # [cx, cy, a, h]
+        ret[2] *= ret[3]
+        ret[:2] -= ret[2:] / 2
+        ret[2:] += ret[:2]
+        return ret
+
+    def ddd_prediction_at_frame(self, frame_id: int) -> np.ndarray:
+        return self.prediction_at_frame(frame_id)
+
+    # ---- lifecycle ----------------------------------------------------------
+
+    def activate(self, kalman_filter, frame_id: int, ids: IdAllocator,
+                 motion: Optional[LSTMMotion] = None):
+        self.track_id = ids.next_id()
+        self.tracklet_len = 0
+        self.state = TrackState.Tracked
+        if frame_id == 1:
+            self.is_activated = True
+        self.frame_id = frame_id
+        self.start_frame = frame_id
+        if self.use_lstm:
+            self.motion = motion
+            if self.dataset == "nuscenes":
+                self.update_lstm_features_ddd(self.ddd_bbox)
+                self.observations_tlwh.append(self._tlwh.copy())
+            else:
+                self.update_lstm_features(self._tlwh)
+        else:
+            self.kalman_filter = kalman_filter
+            self.mean, self.covariance = kalman_filter.initiate(
+                self.tlwh_to_xyah(self._tlwh)
+            )
+
+    def re_activate(self, new_track: "STrack", frame_id: int):
+        self.tracklet_len = 0
+        self.state = TrackState.Tracked
+        self.is_activated = True
+        self.frame_id = frame_id
+        self.nodes.append(new_track.nodes[-1])
+        self.depth = new_track.depth
+        self.org_ddd_box = new_track.org_ddd_box
+        self.ddd_bbox = new_track.ddd_bbox
+        self.ddd_submission = new_track.ddd_submission
+        if self.use_lstm:
+            if self.dataset == "nuscenes":
+                self.update_lstm_features_ddd(new_track.ddd_bbox)
+                self.observations_tlwh.append(new_track.tlwh.copy())
+            else:
+                self.update_lstm_features(new_track.tlwh)
+        else:
+            self.mean, self.covariance = self.kalman_filter.update(
+                self.mean, self.covariance, self.tlwh_to_xyah(new_track.tlwh)
+            )
+
+    def update(self, new_track: "STrack", frame_id: int):
+        self.frame_id = frame_id
+        self.tracklet_len += 1
+        new_tlwh = new_track.tlwh
+        self.depth = new_track.depth
+        self.state = TrackState.Tracked
+        self.is_activated = True
+        self.score = new_track.score
+        self.nodes.append(new_track.nodes[-1])
+        self.org_ddd_box = new_track.org_ddd_box
+        self.ddd_bbox = new_track.ddd_bbox
+        self.ddd_submission = new_track.ddd_submission
+        if self.use_lstm:
+            if self.dataset == "nuscenes":
+                self.update_lstm_features_ddd(new_track.ddd_bbox)
+                self.observations_tlwh.append(new_track.tlwh.copy())
+            else:
+                self.update_lstm_features(new_tlwh)
+        else:
+            self.mean, self.covariance = self.kalman_filter.update(
+                self.mean, self.covariance, self.tlwh_to_xyah(new_tlwh)
+            )
+
+    # ---- LSTM feature assembly (tracker.py:408-580) --------------------------
+
+    def _empirical_cov(self, obs) -> np.ndarray:
+        arr = np.asarray(obs)
+        if arr.shape[0] < 2:
+            return np.eye(arr.shape[1]) if arr.ndim == 2 else np.eye(4)
+        return np.cov(arr.T)
+
+    def update_lstm_features(self, tlwh):
+        self.observations_tlwh.append(np.asarray(tlwh, np.float64).copy())
+        self.observations.append(self.tlwh_to_xyah(tlwh).tolist())
+        self.covariance = self._empirical_cov(self.observations)
+
+        box = np.asarray(tlwh, np.float64).copy()
+        box[:2] += box[2:] / 2
+        c_x, c_y, w, h = box.tolist()
+        h_w_ratio = w / h if h != 0 else 0.0
+
+        if self.first_time:
+            self.first_time = False
+            delta_h = delta_w = v_x = v_y = delta_cx = delta_cy = 0.0
+        else:
+            dt = max(self.frame_id - self.last_frame_id, 1)
+            delta_h = h - self.last_h
+            delta_w = w - self.last_w
+            v_x = delta_cx = (c_x - self.last_cx) / dt
+            v_y = delta_cy = (c_y - self.last_cy) / dt
+        self.last_h, self.last_w = h, w
+        self.last_cx, self.last_cy = c_x, c_y
+        self.last_frame_id = self.frame_id
+
+        feat = np.array([[c_x, c_y, delta_cx, delta_cy, h, w, h_w_ratio,
+                          delta_h, delta_w, v_x, v_y]], np.float32)
+        self.hn, self.cn, preds = self.motion.predict(self.hn, self.cn, feat)
+        # deltas [dcx, dcy, dh, dw] -> [cx, cy, a=w/h, h] (tracker.py:471-480)
+        for key in preds:
+            p = preds[key].astype(np.float64)
+            cx_p, cy_p = c_x + p[0], c_y + p[1]
+            h_p, w_p = h + p[2], w + p[3]
+            preds[key] = np.array(
+                [cx_p, cy_p, (w_p / h_p if h_p != 0 else 0.0), h_p]
+            )
+        self.future_predictions = preds
+
+    def update_lstm_features_ddd(self, ddd_box):
+        ddd_box = np.asarray(ddd_box, np.float64)
+        self.observations_ddd_bboxes.append(ddd_box.copy())
+        self.covariance = self._empirical_cov(self.observations_ddd_bboxes)
+
+        h, w, l, c_x, c_y, c_z, rot_y = ddd_box.tolist()
+        if self.first_time:
+            self.first_time = False
+            delta_h = delta_w = delta_l = 0.0
+            v_x = v_y = v_z = v_rot = 0.0
+            delta_cx = delta_cy = delta_cz = delta_rot = 0.0
+        else:
+            dt = max(self.frame_id - self.last_frame_id, 1)
+            delta_h, delta_w, delta_l = h - self.last_h, w - self.last_w, l - self.last_l
+            v_x = (c_x - self.last_cx) / dt
+            v_y = (c_y - self.last_cy) / dt
+            v_z = (c_z - self.last_cz) / dt
+            v_rot = (rot_y - self.last_rot_y) / dt
+            delta_cx, delta_cy, delta_cz = (
+                c_x - self.last_cx, c_y - self.last_cy, c_z - self.last_cz
+            )
+            delta_rot = rot_y - self.last_rot_y
+        self.last_h, self.last_w, self.last_l = h, w, l
+        self.last_cx, self.last_cy, self.last_cz = c_x, c_y, c_z
+        self.last_rot_y = rot_y
+        self.last_frame_id = self.frame_id
+
+        feat = np.array([[c_x, c_y, c_z, delta_cx, delta_cy, delta_cz,
+                          h, w, l, delta_h, delta_w, delta_l,
+                          v_x, v_y, v_z, rot_y, delta_rot, v_rot]], np.float32)
+        self.hn, self.cn, preds = self.motion.predict(self.hn, self.cn, feat)
+        # deltas [dx, dy, dz, drot] -> [h, w, l, x, y, z, rot]
+        for key in preds:
+            p = preds[key].astype(np.float64)
+            preds[key] = np.array(
+                [h, w, l, c_x + p[0], c_y + p[1], c_z + p[2], rot_y + p[3]]
+            )
+        self.future_predictions = preds
+
+    # ---- geometry -----------------------------------------------------------
+
+    @property
+    def tlwh(self) -> np.ndarray:
+        if self.use_lstm:
+            return self.observations_tlwh[-1].copy()
+        if self.mean is None:
+            return self._tlwh.copy()
+        ret = self.mean[:4].copy()
+        ret[2] *= ret[3]
+        ret[:2] -= ret[2:] / 2
+        return ret
+
+    @property
+    def tlbr(self) -> np.ndarray:
+        ret = self.tlwh.copy()
+        ret[2:] += ret[:2]
+        return ret
+
+    @staticmethod
+    def tlwh_to_xyah(tlwh) -> np.ndarray:
+        ret = np.asarray(tlwh, np.float64).copy()
+        ret[:2] += ret[2:] / 2
+        ret[2] /= ret[3]
+        return ret
+
+    def to_xyah(self) -> np.ndarray:
+        return self.tlwh_to_xyah(self.tlwh)
+
+    @staticmethod
+    def tlbr_to_tlwh(tlbr) -> np.ndarray:
+        ret = np.asarray(tlbr, np.float64).copy()
+        ret[2:] -= ret[:2]
+        return ret
+
+    def __repr__(self):
+        return f"OT_{self.track_id}_({self.start_frame}-{self.end_frame})"
+
+
+class Tracker:
+    """Per-sequence online tracker (tracker.py:631-1056)."""
+
+    def __init__(self, dataset: str, max_object: int, embed_dim: int,
+                 similarity_fn: Callable, use_lstm: bool = False,
+                 motion: Optional[LSTMMotion] = None,
+                 frame_rate: int = 10, track_buffer: int = 30,
+                 ids: Optional[IdAllocator] = None):
+        self.dataset = dataset
+        self.tracked_stracks: List[STrack] = []
+        self.lost_stracks: List[STrack] = []
+        self.removed_stracks: List[STrack] = []
+        self.frame_id = 0
+        self.buffer_size = int(frame_rate / 30.0 * track_buffer)
+        self.max_time_lost = self.buffer_size
+        self.det_thresh = 0.0
+        self.use_lstm = use_lstm
+        self.motion = motion if motion is not None else (
+            LSTMMotion(dataset) if use_lstm else None
+        )
+        self.kalman_filter = KalmanFilter() if not use_lstm else self.motion
+        self.ids = ids if ids is not None else IdAllocator()
+        self.recorder = DeviceFeatureRecorder(
+            dataset, max_object, embed_dim, similarity_fn
+        )
+
+    # -- similarity matrix for a pool of tracks (tracker.py:663-688) ----------
+
+    def get_similarity(self, frame_index: int, strack_pool: Sequence[STrack],
+                       num_detections: int) -> np.ndarray:
+        rows = []
+        for t in strack_pool:
+            s = t.get_similarity(frame_index, self.recorder)
+            rows.append([0.0] * (num_detections + 1) if s is None else s.tolist())
+        return np.array(rows) if rows else np.zeros((0, num_detections + 1))
+
+    # -- the cascade -----------------------------------------------------------
+
+    def update(self, detections_in: List[Dict], embeddings: np.ndarray,
+               ddd_boxes=None, depths=None, ddd_org_boxes=None,
+               submission=None, classe=None) -> List[STrack]:
+        """One frame.
+
+        detections_in: list of dicts with 'bbox' (tlbr, input pixels),
+        'score'; (nuScenes adds per-class 3-D fields via the ddd_* args).
+        embeddings: [n, E] appearance embeddings aligned with detections_in.
+        """
+        self.frame_id += 1
+        activated: List[STrack] = []
+        removed: List[STrack] = []
+        output: List[STrack] = []
+
+        n_det = len(detections_in)
+        if n_det > 0:
+            nodes = [Node(self.frame_id, i) for i in range(n_det)]
+            if self.dataset == "nuscenes":
+                detections = [
+                    STrack(
+                        STrack.tlbr_to_tlwh(d["bbox"]), d["score"], node,
+                        use_lstm=self.use_lstm, dataset=self.dataset,
+                        ddd_bbox=np.asarray(ddd_boxes[i]),
+                        depth=float(np.ravel(depths[i])[0]),
+                        org_ddd_box=np.asarray(ddd_org_boxes[i]),
+                        classe=classe,
+                        ddd_submission=submission[i],
+                    )
+                    for i, (d, node) in enumerate(zip(detections_in, nodes))
+                ]
+            else:
+                detections = [
+                    STrack(STrack.tlbr_to_tlwh(d["bbox"]), d["score"], node,
+                           use_lstm=self.use_lstm, dataset=self.dataset)
+                    for d, node in zip(detections_in, nodes)
+                ]
+            boxes = np.stack([np.asarray(d["bbox"], np.float64)[:4]
+                              for d in detections_in])
+            self.recorder.update(self.frame_id, embeddings[:n_det], boxes)
+        else:
+            detections = []
+
+        tracked_stracks = list(self.tracked_stracks)
+        strack_pool = joint_stracks(tracked_stracks, self.lost_stracks)
+        if not self.use_lstm:
+            STrack.multi_predict(
+                [t for t in strack_pool if t.mean is not None], self.kalman_filter
+            )
+
+        lll = n_det
+        u_detection_stage0 = list(range(n_det))
+
+        # -- nuScenes non-pedestrian pre-step: 3-D IoU on recent tracks -------
+        if self.dataset == "nuscenes" and classe != "pedestrian":
+            pool_old = [t for t in strack_pool
+                        if abs(t.frame_id - self.frame_id) >= 3]
+            pool_new = [t for t in strack_pool
+                        if abs(t.frame_id - self.frame_id) < 3]
+            dists = matching.iou_ddd_distance(pool_new, detections, self.frame_id)
+            matches, u_track, u_detection0 = matching.linear_assignment(
+                dists, thresh=0.999
+            )
+            for itracked, idet in matches:
+                track = pool_new[itracked]
+                output.append(track)
+                det = detections[idet]
+                if track.state == TrackState.Tracked:
+                    track.update(det, self.frame_id)
+                    activated.append(track)
+                else:
+                    track.re_activate(det, self.frame_id)
+            u_detection_stage0 = list(u_detection0)
+            detections = [detections[i] for i in u_detection0]
+            strack_pool = joint_stracks(
+                [pool_new[i] for i in u_track], pool_old
+            )
+
+        # -- primary association: AFE similarity + motion fusion --------------
+        dists = np.zeros((len(strack_pool), len(detections)))
+        if dists.size != 0:
+            dists = self.get_similarity(self.frame_id, strack_pool, lll)
+            dists = dists[:, :-1]
+            if self.dataset == "nuscenes" and classe != "pedestrian":
+                dists = dists[:, u_detection_stage0]
+            dists = 1.0 - dists
+
+        if self.dataset == "nuscenes":
+            dists = matching.fuse_motion_ddd(
+                self.kalman_filter, dists, strack_pool, detections,
+                frame_id=self.frame_id, classe_name=classe,
+            )
+        else:
+            dists = matching.fuse_motion(
+                self.kalman_filter, dists, strack_pool, detections,
+                frame_id=self.frame_id, use_lstm=self.use_lstm,
+            )
+        matches, u_track, u_detection2 = matching.linear_assignment(dists, 0.9)
+        for itracked, idet in matches:
+            track = strack_pool[itracked]
+            output.append(track)
+            det = detections[idet]
+            if track.state == TrackState.Tracked:
+                track.update(det, self.frame_id)
+                activated.append(track)
+            else:
+                track.re_activate(det, self.frame_id)
+        r_tracked = [strack_pool[i] for i in u_track]
+        detections = [detections[i] for i in u_detection2]
+
+        # -- second-chance AFE-only pass (nuScenes / KITTI) --------------------
+        if self.dataset in ("nuscenes", "kitti_tracking") and len(detections) > 0:
+            dists = self.get_similarity(self.frame_id, r_tracked, lll)
+            if dists.size != 0:
+                dists = dists[:, :-1]
+                if self.dataset == "nuscenes" and classe != "pedestrian":
+                    dists = dists[:, u_detection_stage0]
+                dists = dists[:, u_detection2]
+                dists = 1.0 - dists
+                matches, u_track, u_detection = matching.linear_assignment(
+                    dists, 0.9
+                )
+                for itracked, idet in matches:
+                    track = r_tracked[itracked]
+                    output.append(track)
+                    det = detections[idet]
+                    if track.state == TrackState.Tracked:
+                        track.update(det, self.frame_id)
+                        activated.append(track)
+                    else:
+                        track.re_activate(det, self.frame_id)
+                detections = [detections[i] for i in u_detection]
+                strack_pool = r_tracked
+            else:
+                u_track = list(range(len(r_tracked)))
+                strack_pool = r_tracked
+        else:
+            strack_pool = r_tracked
+            u_track = list(range(len(r_tracked)))
+
+        # -- IoU association on the remainder ---------------------------------
+        if self.dataset in ("kitti_tracking", "nuscenes"):
+            mm = 3 if self.dataset == "nuscenes" else 6
+            r_tracked = [strack_pool[i] for i in u_track
+                         if abs(self.frame_id - strack_pool[i].frame_id) < mm]
+        else:
+            r_tracked = [strack_pool[i] for i in u_track
+                         if strack_pool[i].state == TrackState.Tracked]
+
+        if self.dataset == "nuscenes":
+            dists = matching.iou_distance(r_tracked, detections, self.frame_id,
+                                          use_prediction=False)
+            matches, u_track, u_detection = matching.linear_assignment(dists, 0.0)
+        else:
+            dists = matching.iou_distance(r_tracked, detections, self.frame_id,
+                                          use_prediction=self.use_lstm)
+            matches, u_track, u_detection = matching.linear_assignment(dists, 0.9)
+
+        for itracked, idet in matches:
+            track = r_tracked[itracked]
+            output.append(track)
+            det = detections[idet]
+            if track.state == TrackState.Tracked:
+                track.update(det, self.frame_id)
+                activated.append(track)
+            else:
+                track.re_activate(det, self.frame_id)
+
+        for it in u_track:
+            track = r_tracked[it]
+            if self.frame_id - track.frame_id > self.max_time_lost:
+                track.mark_removed()
+                removed.append(track)
+
+        # -- births ------------------------------------------------------------
+        detections = [detections[i] for i in u_detection]
+        for track in detections:
+            output.append(track)
+            if track.score < self.det_thresh:
+                continue
+            track.activate(self.kalman_filter, self.frame_id, self.ids,
+                           motion=self.motion)
+            activated.append(track)
+
+        # -- lifecycle bookkeeping (tracker.py:1037-1054) ----------------------
+        for track in self.lost_stracks:
+            if self.frame_id - track.end_frame > self.max_time_lost:
+                track.mark_removed()
+                removed.append(track)
+
+        self.tracked_stracks = [
+            t for t in self.tracked_stracks if t.state == TrackState.Tracked
+        ]
+        self.tracked_stracks = joint_stracks(self.tracked_stracks, activated)
+        self.lost_stracks = sub_stracks(self.lost_stracks, self.tracked_stracks)
+        self.lost_stracks = sub_stracks(self.lost_stracks, self.removed_stracks)
+        self.removed_stracks.extend(removed)
+        self.tracked_stracks, self.lost_stracks = remove_duplicate_stracks(
+            self.tracked_stracks, self.lost_stracks,
+            ddd_tracking=(self.dataset == "nuscenes"),
+        )
+        return output
+
+
+def joint_stracks(tlista, tlistb):
+    exists = {}
+    res = []
+    for t in tlista:
+        exists[t.track_id] = 1
+        res.append(t)
+    for t in tlistb:
+        if not exists.get(t.track_id, 0):
+            exists[t.track_id] = 1
+            res.append(t)
+    return res
+
+
+def sub_stracks(tlista, tlistb):
+    stracks = {t.track_id: t for t in tlista}
+    for t in tlistb:
+        stracks.pop(t.track_id, None)
+    return list(stracks.values())
+
+
+def remove_duplicate_stracks(stracksa, stracksb, ddd_tracking=False):
+    if ddd_tracking:
+        pdist = matching.iou_ddd_distance(stracksa, stracksb, use_prediction=False)
+    else:
+        pdist = matching.iou_distance(stracksa, stracksb, use_prediction=False)
+    pairs = np.where(pdist < 0.15)
+    dupa, dupb = [], []
+    for p, q in zip(*pairs):
+        timep = stracksa[p].frame_id - stracksa[p].start_frame
+        timeq = stracksb[q].frame_id - stracksb[q].start_frame
+        if timep > timeq:
+            dupb.append(q)
+        else:
+            dupa.append(p)
+    resa = [t for i, t in enumerate(stracksa) if i not in dupa]
+    resb = [t for i, t in enumerate(stracksb) if i not in dupb]
+    return resa, resb
