@@ -1,12 +1,17 @@
 """End-to-end tracking benchmark.
 
-Measures the full per-frame MOT17 pipeline on the available accelerator:
-host preprocess (affine warp + normalize) -> jitted detect program (DLA-34
-forward, sigmoid, decode top-100, AFE embedding gather) -> host post-process
--> ring-buffer similarity -> association cascade.  Prints ONE JSON line; the
-baseline target is 60 FPS/chip (BASELINE.md).
+Measures the full per-frame MOT17 pipeline on the available accelerator
+through the production path: host affine warp -> ONE fused jitted program per
+frame (DLA-34 forward in bf16, sigmoid, decode top-100, AFE embedding gather,
+ring-buffer similarity, buffer write) -> pipelined fetch -> inverse affine +
+association cascade on host.  Prints ONE JSON line; the baseline target is
+60 FPS/chip (BASELINE.md).
 
-Usage: python bench.py [--smoke] [--frames N]
+The detection threshold is dropped so that (with an untrained net) all K=100
+candidates flow through the cascade -- a max-load, conservative number
+(MOT17 frames average ~30 detections).
+
+Usage: python bench.py [--smoke] [--frames N] [--fp32] [--no-pipeline]
 """
 
 from __future__ import annotations
@@ -20,7 +25,6 @@ import numpy as np
 
 
 def make_synthetic_frame(t, h, w, n_obj=12, seed=0):
-    """Deterministic moving-squares frame (uint8 BGR) with n_obj objects."""
     rng = np.random.RandomState(seed)
     img = np.full((h, w, 3), 40, np.uint8)
     for i in range(n_obj):
@@ -36,8 +40,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes on CPU for a fast correctness check")
-    ap.add_argument("--frames", type=int, default=100)
-    ap.add_argument("--warmup", type=int, default=10)
+    ap.add_argument("--frames", type=int, default=150)
+    ap.add_argument("--warmup", type=int, default=15)
+    ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--no-pipeline", action="store_true")
+    ap.add_argument("--max-dets", type=int, default=0,
+                    help="cap detections/frame fed to the cascade (0 = all "
+                         "K=100; 32 emulates typical trained-detector load)")
     args = ap.parse_args()
 
     if args.smoke:
@@ -47,48 +56,49 @@ def main():
 
     from deft_tpu.config import mot_config
     from deft_tpu.inference.detector import Detector
+    from deft_tpu.inference.runner import PipelinedRunner
 
-    # track_thresh is dropped so that (with an untrained net) all K=100
-    # candidates flow through post-processing and the association cascade --
-    # a max-load, conservative FPS (MOT17 frames average ~30 detections).
+    dtype = "float32" if args.fp32 else "bfloat16"
     if args.smoke:
         cfg = mot_config(input_h=128, input_w=160, dla_node="conv",
-                         track_thresh=1e-3)
-        frames = 12
-        warmup = 3
+                         track_thresh=1e-3, compute_dtype=dtype)
+        frames, warmup = 12, 4
     else:
-        cfg = mot_config(track_thresh=1e-3)  # 544x960, dcn nodes, K=100
-        frames = args.frames
-        warmup = args.warmup
+        cfg = mot_config(track_thresh=1e-3, compute_dtype=dtype)
+        frames, warmup = args.frames, args.warmup
 
     det = Detector(cfg)
     det.img_height, det.img_width = 1080, 1920
-    det.reset_tracking()
+    runner = PipelinedRunner(det, depth=1 if args.no_pipeline else 3)
+    if args.max_dets > 0:
+        inner_finish = runner._finish
+
+        def capped_finish(item, _inner=inner_finish, _cap=args.max_dets):
+            item = dict(item)
+            return _inner(item, cap=_cap)
+
+        runner.cap = args.max_dets
 
     fh, fw = (270, 480) if args.smoke else (1080, 1920)
+    warm_frames = [make_synthetic_frame(t, fh, fw) for t in range(warmup)]
+    runner.track_sequence(warm_frames)
+    runner.reset()
 
-    # warmup (compile)
-    for t in range(warmup):
-        det.run(make_synthetic_frame(t, fh, fw))
-
-    det.timers.reset()
+    seq = [make_synthetic_frame(t, fh, fw) for t in range(frames)]
     t0 = time.time()
-    n_tracks = 0
-    for t in range(frames):
-        online = det.run(make_synthetic_frame(t, fh, fw))
-        n_tracks += len(online)
+    results = runner.track_sequence(seq)
     elapsed = time.time() - t0
 
     fps = frames / elapsed
-    result = {
+    n_tracks = sum(len(r) for r in results) / max(len(results), 1)
+    print(json.dumps({
         "metric": "e2e_mot17_tracking_fps_per_chip",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 60.0, 3),
-    }
-    print(json.dumps(result))
-    print(f"# stages: {det.timers.summary()}  tracks/frame: "
-          f"{n_tracks / max(frames, 1):.1f}", file=sys.stderr)
+    }))
+    print(f"# frames={frames} elapsed={elapsed:.2f}s tracks/frame={n_tracks:.1f} "
+          f"dtype={dtype} pipeline_depth={runner.depth}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -146,7 +146,10 @@ class Detector:
             inp_w = (new_width | self.cfg.pad) + 1
             c = np.array([new_width // 2, new_height // 2], np.float32)
             s = np.array([inp_w, inp_h], np.float32)
-        resized = cv2.resize(image, (new_width, new_height))
+        if new_width == width and new_height == height:
+            resized = image
+        else:
+            resized = cv2.resize(image, (new_width, new_height))
         return resized, c, s, inp_w, inp_h, height, width
 
     def _default_calib(self, width, height):

@@ -61,6 +61,7 @@ class AFE(nn.Module):
     dataset: str = "mot"
     max_object: int = 100
     align_corners: bool = True
+    dtype: object = None   # selector compute dtype; the affinity MLP is fp32
 
     @property
     def embed_dim(self) -> int:
@@ -70,7 +71,7 @@ class AFE(nn.Module):
         outs = selector_out_channels(self.dataset)
         self.selectors = [
             nn.Conv(oc, (3, 3), padding=((1, 1), (1, 1)), use_bias=True,
-                    name=f"selector_{i}")
+                    dtype=self.dtype, name=f"selector_{i}")
             for i, oc in enumerate(outs)
         ]
         self.stacker2_bn = nn.BatchNorm(momentum=BN_MOMENTUM, epsilon=BN_EPS)
@@ -108,7 +109,8 @@ class AFE(nn.Module):
                 )
             )(sel, centers)                                   # [B, N, oc]
             feats.append(sampled)
-        return jnp.concatenate(feats, axis=-1)                # [B, N, E]
+        # embeddings downstream (affinity MLP, dual softmax) run in fp32
+        return jnp.concatenate(feats, axis=-1).astype(jnp.float32)  # [B, N, E]
 
     # ---- affinity MLP --------------------------------------------------------
 

@@ -91,6 +91,7 @@ class DCNv2(nn.Module):
     features: int
     kernel: int = 3
     dilation: int = 1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -105,8 +106,11 @@ class DCNv2(nn.Module):
             use_bias=True,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
             name="conv_offset_mask",
         )(x)
+        # offsets in float32: sub-pixel positions need the precision
+        om = om.astype(jnp.float32)
         dy = om[..., 0:kk]
         dx = om[..., kk : 2 * kk]
         mask = jax.nn.sigmoid(om[..., 2 * kk : 3 * kk])
@@ -123,8 +127,12 @@ class DCNv2(nn.Module):
             (kk * c, self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.dtype is not None:
+            weight = weight.astype(self.dtype)
+            patches = patches.astype(self.dtype)
         out = jnp.einsum(
             "bhwk,kf->bhwf", patches, weight,
             preferred_element_type=jnp.float32,
         )
-        return out + bias
+        out = out + bias
+        return out.astype(self.dtype) if self.dtype is not None else out

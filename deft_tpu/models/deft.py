@@ -40,24 +40,27 @@ class HeadTower(nn.Module):
     convs: Sequence[int]
     head_kernel: int = 3
     prior_bias: Optional[float] = None  # set for 'hm'
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         if len(self.convs) > 0:
             k = self.head_kernel
             x = nn.Conv(self.convs[0], (k, k), padding=((k // 2, k // 2),) * 2,
-                        use_bias=True, name="conv0")(x)
+                        use_bias=True, dtype=self.dtype, name="conv0")(x)
             x = nn.relu(x)
             for i, c in enumerate(self.convs[1:], start=1):
-                x = nn.Conv(c, (1, 1), use_bias=True, name=f"conv{i}")(x)
+                x = nn.Conv(c, (1, 1), use_bias=True, dtype=self.dtype,
+                            name=f"conv{i}")(x)
                 x = nn.relu(x)
         bias_init = (
             nn.initializers.constant(self.prior_bias)
             if self.prior_bias is not None
             else nn.initializers.zeros
         )
-        return nn.Conv(self.out_channels, (1, 1), use_bias=True,
-                       bias_init=bias_init, name="out")(x)
+        out = nn.Conv(self.out_channels, (1, 1), use_bias=True,
+                      bias_init=bias_init, dtype=self.dtype, name="out")(x)
+        return out.astype(jnp.float32)
 
 
 class DEFTNet(nn.Module):
@@ -73,12 +76,14 @@ class DEFTNet(nn.Module):
     with_pre_img: bool = False
     with_pre_hm: bool = False
     align_corners: bool = True
+    dtype: object = None   # compute dtype for trunk/heads/selectors
 
     def setup(self):
         self.trunk = DLASeg(
             node_type=self.dla_node,
             with_pre_img=self.with_pre_img,
             with_pre_hm=self.with_pre_hm,
+            dtype=self.dtype,
             name="trunk",
         )
         self.head_towers = {
@@ -87,12 +92,14 @@ class DEFTNet(nn.Module):
                 tuple(self.head_convs.get(h, ())),
                 head_kernel=self.head_kernel,
                 prior_bias=self.prior_bias if "hm" in h else None,
+                dtype=self.dtype,
                 name=f"head_{h}",
             )
             for h, c in self.heads.items()
         }
         self.afe = AFE(dataset=self.dataset, max_object=self.max_object,
-                       align_corners=self.align_corners, name="afe")
+                       align_corners=self.align_corners, dtype=self.dtype,
+                       name="afe")
 
     # ---- detection forward ---------------------------------------------------
 
@@ -166,3 +173,76 @@ class DEFTNet(nn.Module):
         )
         embeddings = self.extract(feature_maps, centers)
         return dets, embeddings
+
+    def frame_step(self, image, state, out_thresh, k: int = 100,
+                   class_filter: int = -1):
+        """The fully fused per-frame tracking program (ONE host round trip).
+
+        Runs detect, selects the valid detections (score >= out_thresh, and
+        optionally a single class id -- KITTI keeps cars only,
+        tracker.py:787-796), evaluates the AFE similarity of the current frame
+        against the ENTIRE on-device ring buffer, and writes this frame's
+        embeddings into the buffer -- all in one jitted program.  The host
+        receives (dets, embeddings, sims, n_valid) and only does inverse
+        affine transforms + the Hungarian cascade.
+
+        Args:
+          image: [1, H, W, 3] normalized input.
+          state: dict(embeds [W, K, E], counts [W] i32, ptr i32 -- the
+            device-resident recorder; pass back the returned state each
+            frame (donate it for in-place updates).
+          out_thresh: scalar threshold on scores.
+          class_filter: static; if >= 0, keep only detections of this 0-based
+            class id (embeddings are stably compacted to match the host's
+            filtered ordering).
+
+        Returns (dets, embeddings [K, E], sims [W, K, K+1], n_valid, state').
+        """
+        if image.dtype == jnp.uint8:
+            # accept raw warped uint8 frames: normalize on device (cheaper
+            # host->device transfer and no host normalize pass)
+            mean = jnp.asarray([0.40789654, 0.44719302, 0.47026115])
+            std = jnp.asarray([0.28863828, 0.27408164, 0.27809835])
+            image = (image.astype(jnp.float32) / 255.0 - mean) / std
+        dets, emb = self.detect(image, k=k)
+        emb = emb[0]                                           # [K, E]
+        scores = dets["scores"][0]
+        valid = scores >= out_thresh                           # sorted prefix
+        if class_filter >= 0:
+            cls_ok = dets["clses"][0].astype(jnp.int32) == class_filter
+            valid = valid & cls_ok
+            # stable compaction so embeddings align with the host's filtered
+            # detection list (host filter preserves relative order)
+            order = jnp.argsort(~valid, stable=True)
+            emb = emb[order]
+        n_valid = jnp.sum(valid).astype(jnp.int32)
+        slot_ids = jnp.arange(k)
+        emb = emb * (slot_ids < n_valid)[:, None].astype(emb.dtype)
+
+        sims = self.afe.window_similarity(
+            state["embeds"], state["counts"], emb, n_valid
+        )
+
+        # conditional ring write: frames with zero detections are not
+        # buffered (tracker.py:59-73 only records non-empty frames)
+        w = state["embeds"].shape[0]
+        do = (n_valid > 0).astype(jnp.int32)
+        slot = state["ptr"] % w
+        old_row = state["embeds"][slot]
+        new_row = jnp.where(do > 0, emb, old_row)
+        new_state = {
+            "embeds": state["embeds"].at[slot].set(new_row),
+            "counts": state["counts"].at[slot].set(
+                jnp.where(do > 0, n_valid, state["counts"][slot])
+            ),
+            "ptr": state["ptr"] + do,
+        }
+        # trim the host transfer: embeddings stay device-side (the ring buffer
+        # is the only consumer), sims travel as fp16 (values are softmax
+        # probabilities; fp16 is plenty and halves the tunnel payload), and
+        # only the decode outputs post-processing actually reads are returned
+        keep = ("scores", "clses", "cts", "bboxes", "bboxes_amodal",
+                "tracking", "dep", "rot", "dim", "amodel_offset",
+                "nuscenes_att", "velocity")
+        dets = {k2: v for k2, v in dets.items() if k2 in keep}
+        return dets, sims.astype(jnp.float16), n_valid, new_state

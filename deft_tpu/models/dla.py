@@ -34,13 +34,16 @@ class BasicBlock(nn.Module):
     features: int
     stride: int = 1
     dilation: int = 1
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, residual=None, train: bool = False):
         if residual is None:
             residual = x
-        out = ConvBNReLU(self.features, 3, self.stride, self.dilation, name="conv1")(x, train)
-        out = ConvBNReLU(self.features, 3, 1, self.dilation, relu=False, name="conv2")(out, train)
+        out = ConvBNReLU(self.features, 3, self.stride, self.dilation,
+                         dtype=self.dtype, name="conv1")(x, train)
+        out = ConvBNReLU(self.features, 3, 1, self.dilation, relu=False,
+                         dtype=self.dtype, name="conv2")(out, train)
         return nn.relu(out + residual)
 
 
@@ -49,11 +52,13 @@ class Root(nn.Module):
 
     features: int
     residual: bool = False
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, children: Sequence[jnp.ndarray], train: bool = False):
         x = jnp.concatenate(children, axis=-1)
-        x = ConvBNReLU(self.features, 1, relu=False, name="conv")(x, train)
+        x = ConvBNReLU(self.features, 1, relu=False, dtype=self.dtype,
+                       name="conv")(x, train)
         if self.residual:
             x = x + children[0]
         return nn.relu(x)
@@ -69,6 +74,7 @@ class Tree(nn.Module):
     level_root: bool = False
     root_dim: int = 0
     root_residual: bool = False
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, children: Optional[List[jnp.ndarray]] = None,
@@ -82,27 +88,29 @@ class Tree(nn.Module):
         children = [] if children is None else list(children)
         bottom = max_pool(x, self.stride, self.stride) if self.stride > 1 else x
         if self.in_features != self.features:
-            residual = ConvBNReLU(self.features, 1, relu=False, name="project")(bottom, train)
+            residual = ConvBNReLU(self.features, 1, relu=False, dtype=self.dtype,
+                                  name="project")(bottom, train)
         else:
             residual = bottom
         if self.level_root:
             children.append(bottom)
 
         if self.levels == 1:
-            x1 = BasicBlock(self.features, self.stride, name="tree1")(x, residual, train)
-            x2 = BasicBlock(self.features, 1, name="tree2")(x1, None, train)
-            return Root(self.features, self.root_residual, name="root")(
-                [x2, x1] + children, train
-            )
+            x1 = BasicBlock(self.features, self.stride, dtype=self.dtype,
+                            name="tree1")(x, residual, train)
+            x2 = BasicBlock(self.features, 1, dtype=self.dtype,
+                            name="tree2")(x1, None, train)
+            return Root(self.features, self.root_residual, dtype=self.dtype,
+                        name="root")([x2, x1] + children, train)
         x1 = Tree(
             self.levels - 1, self.features, self.in_features, self.stride,
-            root_residual=self.root_residual, name="tree1",
+            root_residual=self.root_residual, dtype=self.dtype, name="tree1",
         )(x, None, train)
         children.append(x1)
         return Tree(
             self.levels - 1, self.features, self.features, 1,
             root_dim=root_dim + self.features,
-            root_residual=self.root_residual, name="tree2",
+            root_residual=self.root_residual, dtype=self.dtype, name="tree2",
         )(x1, children, train)
 
 
@@ -114,36 +122,39 @@ class DLA(nn.Module):
     residual_root: bool = False
     with_pre_img: bool = False
     with_pre_hm: bool = False
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, pre_img=None, pre_hm=None, train: bool = False):
         ch = self.channels
-        x = ConvBNReLU(ch[0], 7, name="base_layer")(x, train)
+        dt = self.dtype
+        x = ConvBNReLU(ch[0], 7, dtype=dt, name="base_layer")(x, train)
         if pre_img is not None and self.with_pre_img:
-            x = x + ConvBNReLU(ch[0], 7, name="pre_img_layer")(pre_img, train)
+            x = x + ConvBNReLU(ch[0], 7, dtype=dt, name="pre_img_layer")(pre_img, train)
         if pre_hm is not None and self.with_pre_hm:
-            x = x + ConvBNReLU(ch[0], 7, name="pre_hm_layer")(pre_hm, train)
+            x = x + ConvBNReLU(ch[0], 7, dtype=dt, name="pre_hm_layer")(pre_hm, train)
 
         outputs = []
         # level0/level1: plain conv levels (dla.py:379-398)
         for i in range(self.levels[0]):
-            x = ConvBNReLU(ch[0], 3, 1, name=f"level0_conv{i}")(x, train)
+            x = ConvBNReLU(ch[0], 3, 1, dtype=dt, name=f"level0_conv{i}")(x, train)
         outputs.append(x)
         for i in range(self.levels[1]):
-            x = ConvBNReLU(ch[1], 3, 2 if i == 0 else 1, name=f"level1_conv{i}")(x, train)
+            x = ConvBNReLU(ch[1], 3, 2 if i == 0 else 1, dtype=dt,
+                           name=f"level1_conv{i}")(x, train)
         outputs.append(x)
 
         x = Tree(self.levels[2], ch[2], ch[1], 2, level_root=False,
-                 root_residual=self.residual_root, name="level2")(x, None, train)
+                 root_residual=self.residual_root, dtype=dt, name="level2")(x, None, train)
         outputs.append(x)
         x = Tree(self.levels[3], ch[3], ch[2], 2, level_root=True,
-                 root_residual=self.residual_root, name="level3")(x, None, train)
+                 root_residual=self.residual_root, dtype=dt, name="level3")(x, None, train)
         outputs.append(x)
         x = Tree(self.levels[4], ch[4], ch[3], 2, level_root=True,
-                 root_residual=self.residual_root, name="level4")(x, None, train)
+                 root_residual=self.residual_root, dtype=dt, name="level4")(x, None, train)
         outputs.append(x)
         x = Tree(self.levels[5], ch[5], ch[4], 2, level_root=True,
-                 root_residual=self.residual_root, name="level5")(x, None, train)
+                 root_residual=self.residual_root, dtype=dt, name="level5")(x, None, train)
         outputs.append(x)
         return outputs
 
@@ -152,12 +163,13 @@ class DeformNode(nn.Module):
     """DCN -> BN -> ReLU ("dcn" node, dla.py:646-665)."""
 
     features: int
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = DCNv2(self.features, name="conv")(x)
+        x = DCNv2(self.features, dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, name="actf_bn")(x)
+                         epsilon=BN_EPS, dtype=self.dtype, name="actf_bn")(x)
         return nn.relu(x)
 
 
@@ -165,17 +177,18 @@ class ConvNode(nn.Module):
     """1x1 conv -> BN -> ReLU ("conv" node, dla.py:576-586)."""
 
     features: int
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return ConvBNReLU(self.features, 1, name="conv")(x, train)
+        return ConvBNReLU(self.features, 1, dtype=self.dtype, name="conv")(x, train)
 
 
-def _make_node(node_type: str, features: int, name: str):
+def _make_node(node_type: str, features: int, name: str, dtype=None):
     if node_type == "dcn":
-        return DeformNode(features, name=name)
+        return DeformNode(features, dtype=dtype, name=name)
     if node_type == "conv":
-        return ConvNode(features, name=name)
+        return ConvNode(features, dtype=dtype, name=name)
     raise ValueError(f"unknown dla node type: {node_type}")
 
 
@@ -190,14 +203,15 @@ class IDAUp(nn.Module):
     features: int
     up_factors: Sequence[int]   # per input level (index 0 unused)
     node_type: str = "dcn"
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, layers: List[jnp.ndarray], startp: int, endp: int,
                  train: bool = False):
         for i in range(startp + 1, endp):
             j = i - startp
-            proj = _make_node(self.node_type, self.features, f"proj_{j}")
-            node = _make_node(self.node_type, self.features, f"node_{j}")
+            proj = _make_node(self.node_type, self.features, f"proj_{j}", self.dtype)
+            node = _make_node(self.node_type, self.features, f"node_{j}", self.dtype)
             f = int(self.up_factors[j])
             x = proj(layers[i], train)
             if f > 1:
@@ -212,6 +226,7 @@ class DLAUp(nn.Module):
     startp: int
     channels: Sequence[int]
     node_type: str = "dcn"
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, layers: List[jnp.ndarray], train: bool = False):
@@ -230,6 +245,7 @@ class DLAUp(nn.Module):
                 channels[j],
                 [s // scales[j] for s in scales[j:]],
                 node_type=self.node_type,
+                dtype=self.dtype,
                 name=f"ida_{i}",
             )
             ida(layers, len(layers) - i - 2, len(layers), train)
@@ -255,19 +271,23 @@ class DLASeg(nn.Module):
     with_pre_hm: bool = False
     channels: Sequence[int] = DLA34_CHANNELS
     levels: Sequence[int] = DLA34_LEVELS
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, pre_img=None, pre_hm=None, train: bool = False):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         first_level = int(np.log2(self.down_ratio))
         base_outs = DLA(
             self.levels, self.channels,
             with_pre_img=self.with_pre_img, with_pre_hm=self.with_pre_hm,
-            name="base",
+            dtype=self.dtype, name="base",
         )(x, pre_img, pre_hm, train)
         feature_maps = list(base_outs)
 
         dla_up_out = DLAUp(
-            first_level, self.channels[first_level:], self.node_type, name="dla_up"
+            first_level, self.channels[first_level:], self.node_type,
+            dtype=self.dtype, name="dla_up"
         )(base_outs[first_level:], train)
         feature_maps += list(dla_up_out)
 
@@ -276,6 +296,7 @@ class DLASeg(nn.Module):
             self.channels[first_level],
             [2 ** i for i in range(self.last_level - first_level)],
             self.node_type,
+            dtype=self.dtype,
             name="ida_up",
         )(y, 0, len(y), train)
         feature_maps += list(y)

@@ -24,6 +24,11 @@ def create_model(arch: str, cfg: Config) -> DEFTNet:
     if name == "dla":
         if num_layers != 34:
             raise NotImplementedError(f"dla_{num_layers} not yet ported; use dla_34")
+        import jax.numpy as jnp
+
+        dtype = None if cfg.compute_dtype in ("float32", "") else jnp.dtype(
+            cfg.compute_dtype
+        )
         return DEFTNet(
             heads=dict(cfg.heads),
             head_convs={h: tuple(c) for h, c in cfg.head_convs.items()},
@@ -35,6 +40,7 @@ def create_model(arch: str, cfg: Config) -> DEFTNet:
             with_pre_img=cfg.pre_img,
             with_pre_hm=cfg.pre_hm,
             align_corners=cfg.align_corners,
+            dtype=dtype,
         )
     if name == "generic":
         from deft_tpu.models.generic import build_generic

@@ -32,6 +32,7 @@ class ConvBNReLU(nn.Module):
     dilation: int = 1
     relu: bool = True
     use_bias: bool = False
+    dtype: Optional[str] = None   # compute dtype (params stay float32)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -42,12 +43,14 @@ class ConvBNReLU(nn.Module):
             padding=torch_pad(self.kernel, self.dilation),
             kernel_dilation=(self.dilation, self.dilation),
             use_bias=self.use_bias,
+            dtype=self.dtype,
             name="conv",
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,
+            dtype=self.dtype,
             name="bn",
         )(x)
         if self.relu:
@@ -114,7 +117,7 @@ class DepthwiseConvTranspose(nn.Module):
         pad = k - 1 - f // 2
         return jax.lax.conv_general_dilated(
             x,
-            jnp.flip(kernel, axis=(0, 1)),
+            jnp.flip(kernel, axis=(0, 1)).astype(x.dtype),
             window_strides=(1, 1),
             padding=((pad, pad), (pad, pad)),
             lhs_dilation=(f, f),

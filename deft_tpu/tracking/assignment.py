@@ -33,7 +33,9 @@ def linear_assignment(cost: np.ndarray, thresh: float) -> Tuple[np.ndarray, np.n
     # cost <= cost_limit.  Restricting each row/col to its own dummy (diagonal)
     # is equivalent because all dummies are interchangeable.
     big = np.full((n + m, n + m), 1e9)
-    big[:n, :m] = np.minimum(cost, 1e9)
+    # gating writes np.inf into cost rows (matching.py:331 etc.); lapjv
+    # accepts inf, scipy does not -- cap to an unassignable finite value
+    big[:n, :m] = np.minimum(np.nan_to_num(cost, nan=1e9, posinf=1e9), 1e9)
     big[n:, m:] = 0.0
     np.fill_diagonal(big[:n, m:], thresh / 2.0)
     np.fill_diagonal(big[n:, :m], thresh / 2.0)

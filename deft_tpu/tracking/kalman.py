@@ -126,6 +126,9 @@ class KalmanFilter:
         if metric == "gaussian":
             return np.sum(d * d, axis=1)
         if metric == "maha":
+            # tiny jitter keeps degenerate states (e.g. zero-size boxes from
+            # an untrained detector) from producing singular covariances
+            cov_p = cov_p + 1e-8 * np.eye(cov_p.shape[0])
             l = np.linalg.cholesky(cov_p)
             z = np.linalg.solve(l, d.T)
             return np.sum(z * z, axis=0)

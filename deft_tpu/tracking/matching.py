@@ -103,6 +103,20 @@ def fuse_motion(kf, cost_matrix, tracks, detections, frame_id: int,
     gating_dim = 2 if only_position else 4
     gating_threshold = chi2inv95[gating_dim]
     measurements = np.asarray([d.to_xyah() for d in detections])
+
+    if not use_lstm and only_position:
+        # batched Mahalanobis over all tracks at once (the per-track loop is
+        # a hot spot at ~100 tracks/frame)
+        means = np.stack([t.mean[:2] for t in tracks])          # [T, 2]
+        covs = np.stack([t.covariance[:2, :2] for t in tracks]) # [T, 2, 2]
+        covs = covs + 1e-8 * np.eye(2)
+        d = measurements[None, :, :2] - means[:, None, :]       # [T, M, 2]
+        l = np.linalg.cholesky(covs)
+        z = np.linalg.solve(l, d.transpose(0, 2, 1))            # [T, 2, M]
+        gd = np.sum(z * z, axis=1)                              # [T, M]
+        cost_matrix[gd > 5.0 * gating_threshold] = np.inf
+        return lambda_ * cost_matrix + 0.05 * (1 - lambda_) * gd
+
     for row, track in enumerate(tracks):
         if not use_lstm:
             gd = kf.gating_distance(track.mean, track.covariance, measurements,

@@ -79,45 +79,52 @@ class DeviceFeatureRecorder:
 
         self.embeds = jnp.zeros((window, max_object, embed_dim), jnp.float32)
         self.counts = np.zeros((window,), np.int32)
+        self.ptr = 0                           # mirrors the device ring pointer
         self.frames: List[int] = []            # buffered frame ids, oldest first
         self.slot_of: Dict[int, int] = {}
         self.all_boxes: Dict[int, np.ndarray] = {}
         self.all_similarity: Dict[int, Dict[int, np.ndarray]] = {}
 
     def update(self, frame_index: int, features, boxes: np.ndarray):
-        """features: [n, E] (device or numpy); boxes: [n, 4] tlbr."""
+        """features: [n, E] (device or numpy); boxes: [n, 4] tlbr.
+
+        Two-call path: computes the windowed similarity itself (one batched
+        device call) and then ingests it.  The fused single-program path
+        computes sims inside the frame program and calls ``ingest`` directly.
+        """
         jnp = self._jnp
         if frame_index in self.slot_of:
             return
-        n = int(features.shape[0])
-        if len(self.frames) == self.window:
-            evict = self.frames.pop(0)
-            slot = self.slot_of.pop(evict)
-            del self.all_boxes[evict]
-            del self.all_similarity[evict]
-        else:
-            slot = len(self.frames)
+        n = min(int(features.shape[0]), self.max_object)
+        if n == 0:
+            return
 
         padded = jnp.zeros((self.max_object, self.embed_dim), jnp.float32)
-        if n > 0:
-            padded = padded.at[:n].set(jnp.asarray(features)[: self.max_object])
-        self.embeds = self.embeds.at[slot].set(padded)
-        self.counts[slot] = min(n, self.max_object)
-
-        self.frames.append(frame_index)
-        self.slot_of[frame_index] = slot
-        self.all_boxes[frame_index] = boxes
-
+        padded = padded.at[:n].set(jnp.asarray(features)[:n])
         sims = np.asarray(
             self.similarity_fn(
-                self.embeds, jnp.asarray(self.counts), padded,
-                jnp.int32(min(n, self.max_object)),
+                self.embeds, jnp.asarray(self.counts), padded, jnp.int32(n)
             )
-        )  # [W, M, M+1]
+        )  # [W, M, M+1] -- vs the buffer BEFORE this frame
 
+        self.ingest(frame_index, sims, n, boxes)
+        slot = self.slot_of[frame_index]
+        self.embeds = self.embeds.at[slot].set(padded)
+
+    def ingest(self, frame_index: int, sims: np.ndarray, n: int,
+               boxes: np.ndarray):
+        """Record a frame whose window similarity was computed elsewhere.
+
+        ``sims`` must be evaluated against the buffer state BEFORE this frame
+        (the fused program guarantees this).  Applies the temporal decay
+        weighting (tracker.py:76-90) and mirrors the device ring bookkeeping
+        (slot = ptr % W, non-empty frames only).
+        """
+        if frame_index in self.slot_of or n == 0:
+            return
         m_frame = freshness_window(self.dataset)
         self.all_similarity[frame_index] = {}
-        for pre_frame in self.frames[:-1]:
+        for pre_frame in self.frames:
             df = frame_index - pre_frame
             delta = (DECAY if df < m_frame else DECAY2) ** (df / 3.0)
             s = self.slot_of[pre_frame]
@@ -125,6 +132,19 @@ class DeviceFeatureRecorder:
             self.all_similarity[frame_index][pre_frame] = (
                 sims[s][:pre_n, : n + 1] * delta
             )
+
+        # ring write bookkeeping
+        slot = self.ptr % self.window
+        if len(self.frames) == self.window:
+            evict = self.frames.pop(0)
+            assert self.slot_of.pop(evict) == slot
+            self.all_boxes.pop(evict, None)
+            self.all_similarity.pop(evict, None)
+        self.frames.append(frame_index)
+        self.slot_of[frame_index] = slot
+        self.counts[slot] = n
+        self.all_boxes[frame_index] = boxes
+        self.ptr += 1
 
 
 class STrack(BaseTrack):
@@ -144,7 +164,11 @@ class STrack(BaseTrack):
         self.dataset = dataset
         self.use_lstm = use_lstm
 
-        self.nodes: List[Node] = [node]
+        from collections import deque
+        # only the newest <= mm+1 nodes feed get_similarity (tracker.py:237-
+        # 250 uses the last mm rows); cap the history so per-frame cost stays
+        # O(1) per track instead of growing with track age
+        self.nodes = deque([node], maxlen=8)
         self.age = 0
         self.updated_frame = 0
 
@@ -171,28 +195,31 @@ class STrack(BaseTrack):
 
     # ---- similarity ---------------------------------------------------------
 
-    def get_similarity(self, frame_index: int, recorder: DeviceFeatureRecorder):
-        """Median of this track's node rows in the current-frame similarity
-        (tracker.py:219-252): last <= mm node rows (mm = 2 nuScenes / 4 else),
-        real columns and the unmatched column median'd separately."""
+    def collect_similarity_rows(self, frame_index: int,
+                                recorder: DeviceFeatureRecorder):
+        """This track's node rows in the current-frame similarity table
+        (tracker.py:219-252), already cut to the rows the median uses:
+        all rows when <= mm+1, else the last mm (mm = 2 nuScenes / 4 else).
+        Returns [r, D] or None."""
+        table = recorder.all_similarity.get(frame_index, {})
         rows = []
         for n in self.nodes:
             if frame_index - n.frame_index >= MAX_TRACK_NODE:
                 continue
-            table = recorder.all_similarity.get(frame_index, {})
             row = table.get(n.frame_index)
             if row is None or n.id >= row.shape[0]:
                 continue
             rows.append(row[n.id, :])
         if not rows:
             return None
-        a = np.array(rows)
         mm = 2 if self.dataset == "nuscenes" else 4
-        if a.shape[0] > mm:
-            a1 = a[a.shape[0] - mm:, : a.shape[1] - 1]
-            a2 = np.median(a[a.shape[0] - mm:, -1:], axis=0)
-            return np.concatenate((np.median(a1, axis=0), a2), axis=0)
-        return np.median(a, axis=0)
+        if len(rows) > mm + 1:
+            rows = rows[-mm:]
+        return np.array(rows)
+
+    def get_similarity(self, frame_index: int, recorder: DeviceFeatureRecorder):
+        rows = self.collect_similarity_rows(frame_index, recorder)
+        return None if rows is None else np.median(rows, axis=0)
 
     # ---- motion -------------------------------------------------------------
 
@@ -456,22 +483,47 @@ class Tracker:
 
     def get_similarity(self, frame_index: int, strack_pool: Sequence[STrack],
                        num_detections: int) -> np.ndarray:
-        rows = []
-        for t in strack_pool:
-            s = t.get_similarity(frame_index, self.recorder)
-            rows.append([0.0] * (num_detections + 1) if s is None else s.tolist())
-        return np.array(rows) if rows else np.zeros((0, num_detections + 1))
+        """Per-track median similarity, medians batched across tracks
+        (the reference computes np.median per track per frame,
+        tracker.py:663-688 -- the dominant host cost at 100 tracks)."""
+        d = num_detections + 1
+        if not strack_pool:
+            return np.zeros((0, d))
+        per_track = [t.collect_similarity_rows(frame_index, self.recorder)
+                     for t in strack_pool]
+        counts = np.array([0 if r is None else r.shape[0] for r in per_track])
+        rmax = int(counts.max()) if len(counts) else 0
+        out = np.zeros((len(per_track), d))
+        if rmax == 0:
+            return out
+        padded = np.full((len(per_track), rmax, d), np.inf)
+        for i, r in enumerate(per_track):
+            if r is not None:
+                padded[i, : r.shape[0], : r.shape[1]] = r
+        srt = np.sort(padded, axis=1)
+        for r in np.unique(counts):
+            if r == 0:
+                continue
+            sel = counts == r
+            if r % 2:
+                med = srt[sel, (r - 1) // 2]
+            else:
+                med = (srt[sel, r // 2 - 1] + srt[sel, r // 2]) / 2.0
+            out[sel] = med[:, :d]
+        return out
 
     # -- the cascade -----------------------------------------------------------
 
     def update(self, detections_in: List[Dict], embeddings: np.ndarray,
                ddd_boxes=None, depths=None, ddd_org_boxes=None,
-               submission=None, classe=None) -> List[STrack]:
+               submission=None, classe=None, sims=None) -> List[STrack]:
         """One frame.
 
         detections_in: list of dicts with 'bbox' (tlbr, input pixels),
         'score'; (nuScenes adds per-class 3-D fields via the ddd_* args).
         embeddings: [n, E] appearance embeddings aligned with detections_in.
+        sims: optional precomputed [W, M, M+1] window similarity from the
+        fused frame program; when given, no device call happens here.
         """
         self.frame_id += 1
         activated: List[STrack] = []
@@ -502,7 +554,11 @@ class Tracker:
                 ]
             boxes = np.stack([np.asarray(d["bbox"], np.float64)[:4]
                               for d in detections_in])
-            self.recorder.update(self.frame_id, embeddings[:n_det], boxes)
+            if sims is not None:
+                self.recorder.ingest(self.frame_id, sims,
+                                     min(n_det, self.recorder.max_object), boxes)
+            else:
+                self.recorder.update(self.frame_id, embeddings[:n_det], boxes)
         else:
             detections = []
 
