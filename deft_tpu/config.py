@@ -44,6 +44,7 @@ class Config:
     dataset_version: str = ""
 
     # ---- training -----------------------------------------------------------
+    save_all: bool = False
     optim: str = "adam"
     lr: float = 1.25e-4
     lr_step: Tuple[int, ...] = (60,)

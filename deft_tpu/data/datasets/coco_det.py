@@ -56,7 +56,7 @@ class CocoDataset(GenericDataset):
 class CustomDataset(GenericDataset):
     """User-provided COCO-format dataset (``.../datasets/custom_dataset.py``)."""
 
-    def __init__(self, cfg, split):
+    def __init__(self, cfg, split, data_dir=None):
         assert cfg.custom_dataset_img_path and cfg.custom_dataset_ann_path, (
             "custom dataset needs custom_dataset_img_path and "
             "custom_dataset_ann_path"

@@ -63,7 +63,7 @@ class PipelinedRunner:
         cfg = self.cfg
         self.state = {
             "embeds": jnp.zeros(
-                (50, cfg.K, self.det.embed_dim), jnp.float32
+                (50, cfg.max_object, self.det.embed_dim), jnp.float32
             ),
             "counts": jnp.zeros((50,), jnp.int32),
             "ptr": jnp.zeros((), jnp.int32),

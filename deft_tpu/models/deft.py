@@ -215,8 +215,11 @@ class DEFTNet(nn.Module):
             # detection list (host filter preserves relative order)
             order = jnp.argsort(~valid, stable=True)
             emb = emb[order]
-        n_valid = jnp.sum(valid).astype(jnp.int32)
-        slot_ids = jnp.arange(k)
+        # the ring buffer holds at most max_object embeddings (K may exceed it)
+        m = self.max_object
+        emb = emb[:m]
+        n_valid = jnp.minimum(jnp.sum(valid), m).astype(jnp.int32)
+        slot_ids = jnp.arange(m)
         emb = emb * (slot_ids < n_valid)[:, None].astype(emb.dtype)
 
         sims = self.afe.window_similarity(

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from deft_tpu.config import Config
 from deft_tpu.models.deft import DEFTNet
 
-_SUPPORTED = ("dla", "resdcn", "res", "generic", "mobilenet")
+_SUPPORTED = ("dla", "dlav0", "resdcn", "res", "generic", "mobilenet")
 
 
 def create_model(arch: str, cfg: Config) -> DEFTNet:
@@ -45,6 +45,21 @@ def create_model(arch: str, cfg: Config) -> DEFTNet:
     if name == "generic":
         from deft_tpu.models.generic import build_generic
         return build_generic(cfg)
+    if name in ("res", "resdcn", "mobilenet"):
+        # PoseResNet (plain deconv) / PoseResDCN (DCN deconv) / mobilenet --
+        # all expressed through the generic backbone x neck assembly
+        # (networks/resnet.py, networks/resdcn.py semantics)
+        from deft_tpu.models.generic import build_generic
+        cfg2 = cfg.replace(
+            backbone="mobilenet" if name == "mobilenet" else "resnet",
+            neck="msraup_plain" if name == "res" else "msraup",
+            num_layers=num_layers if num_layers else cfg.num_layers,
+        )
+        return build_generic(cfg2)
+    if name == "dlav0":
+        # legacy DLA: the aggregation trunk with plain-conv IDA nodes
+        # (networks/dlav0.py is the pre-DCN DLASeg)
+        return create_model("dla_34", cfg.replace(dla_node="conv"))
     raise ValueError(f"unknown arch {arch}; supported: {_SUPPORTED}")
 
 

@@ -23,6 +23,23 @@ def _ocp():
     return ocp
 
 
+def _restore_numpy(path: str):
+    """Restore a checkpoint as plain numpy arrays regardless of how (or on
+    which mesh) it was saved -- orbax otherwise demands the original
+    shardings at load time."""
+    ocp = _ocp()
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(path)
+    if hasattr(meta, "item_metadata"):          # StepMetadata (orbax >= 0.6)
+        meta = meta.item_metadata
+    tree = meta.tree if hasattr(meta, "tree") else meta
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree,
+        is_leaf=lambda x: not isinstance(x, dict),
+    )
+    return ckptr.restore(path, restore_args=restore_args)
+
+
 def save_checkpoint(path: str, params, batch_stats, opt_state=None,
                     epoch: int = 0, extra: Optional[Dict[str, Any]] = None):
     ocp = _ocp()
@@ -67,9 +84,7 @@ def _merge_tolerant(init_tree, loaded_tree, prefix=""):
 
 def load_checkpoint(path: str, model, cfg, params=None, batch_stats=None):
     """Load a checkpoint into ``{"params", "batch_stats"}`` variables."""
-    ocp = _ocp()
-    ckptr = ocp.PyTreeCheckpointer()
-    loaded = ckptr.restore(os.path.abspath(path))
+    loaded = _restore_numpy(os.path.abspath(path))
     if params is None:
         from deft_tpu.models.factory import init_model
 
@@ -81,9 +96,7 @@ def load_checkpoint(path: str, model, cfg, params=None, batch_stats=None):
 
 def load_train_state(path: str, state):
     """Resume training: restore into an existing TrainState pytree."""
-    ocp = _ocp()
-    ckptr = ocp.PyTreeCheckpointer()
-    loaded = ckptr.restore(os.path.abspath(path))
+    loaded = _restore_numpy(os.path.abspath(path))
     return state.replace(
         params=_merge_tolerant(state.params, loaded.get("params")),
         batch_stats=_merge_tolerant(state.batch_stats, loaded.get("batch_stats")),
@@ -100,6 +113,5 @@ def save_motion_checkpoint(path: str, motion):
 
 
 def load_motion_checkpoint(path: str, motion):
-    ocp = _ocp()
-    loaded = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    loaded = _restore_numpy(os.path.abspath(path))
     return _merge_tolerant(motion.variables, loaded)

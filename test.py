@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Sequence tracking evaluation entry point.
+
+Equivalent of ``/root/reference/src/test.py``: iterate dataset images grouped
+by video in frame order, reset the tracker at sequence boundaries, run the
+per-frame pipeline (the pipelined fused program for 2-D datasets; the
+per-class 3-D branch for nuScenes), collect submission-format results, and
+run the bundled evaluator.  Supports the MOTChallenge public-detection mode
+(--public_det --load_results <json>, test.py:204-211 semantics).
+
+Usage mirrors the reference:
+  python test.py tracking --dataset mot --dataset_version 17halfval \
+      --load_model exp/tracking/default/model_last --track_thresh 0.4 ...
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import defaultdict
+
+import numpy as np
+
+
+def group_videos(dataset):
+    """video_id -> image infos sorted by frame_id (sensor-aware)."""
+    videos = defaultdict(list)
+    for info in dataset.coco.dataset["images"]:
+        videos[info["video_id"]].append(info)
+    for infos in videos.values():
+        infos.sort(key=lambda ii: (ii.get("sensor_id", 1), ii["frame_id"]))
+    return videos
+
+
+def tracks_to_results(online, cls_default=1):
+    out = []
+    for t in online:
+        tlbr = t.tlbr
+        item = {
+            "bbox": np.asarray(tlbr, np.float32),
+            "score": float(t.score),
+            "class": int(t.classe) if isinstance(t.classe, (int, np.integer))
+            else cls_default,
+            "tracking_id": int(t.track_id),
+            "active": 1 if t.is_activated else 0,
+        }
+        if t.ddd_submission is not None:
+            sub = np.asarray(t.ddd_submission, np.float64)
+            item.update({
+                "translation": sub[0:3].tolist(),
+                "size": sub[3:6].tolist(),
+                "rotation": sub[6:10].tolist(),
+                "detection_name": t.classe,
+                "velocity": [0, 0],
+            })
+        out.append(item)
+    return out
+
+
+def main(argv=None):
+    from deft_tpu.cli import parse_config
+
+    cfg, extras = parse_config(argv)
+    cfg = cfg.replace(dataset=cfg.test_dataset or cfg.dataset)
+
+    import cv2
+
+    from deft_tpu.data.datasets import get_dataset
+    from deft_tpu.inference.detector import Detector
+    from deft_tpu.inference.runner import PipelinedRunner
+    from deft_tpu.utils.logger import Logger
+
+    logger = Logger(cfg)
+    dataset = get_dataset(cfg.dataset)(
+        cfg, "val",
+        data_dir=os.path.join(extras["data_dir"], _dataset_dirname(cfg)),
+    )
+    detector = Detector(cfg)
+
+    loaded_results = {}
+    if cfg.load_results:
+        with open(cfg.load_results) as f:
+            loaded_results = {int(k): v for k, v in json.load(f).items()}
+
+    use_pipeline = cfg.dataset != "nuscenes"
+    runner = PipelinedRunner(detector) if use_pipeline else None
+
+    results = {}
+    videos = group_videos(dataset)
+    t_start = time.time()
+    n_frames = 0
+    for video_id, infos in videos.items():
+        if runner is not None:
+            runner.reset()
+        else:
+            detector.reset_tracking()
+        first = dataset.coco.load_img(infos[0]["id"])
+        probe = cv2.imread(os.path.join(dataset.img_dir, first["file_name"]))
+        if probe is not None:
+            detector.img_height, detector.img_width = probe.shape[:2]
+
+        pending_ids = []
+        for info in infos:
+            img_path = os.path.join(dataset.img_dir, info["file_name"])
+            image = cv2.imread(img_path)
+            if image is None:
+                continue
+            meta = {}
+            if "calib" in info:
+                meta["calib"] = info["calib"]
+            if cfg.public_det and info["id"] in loaded_results:
+                meta["cur_dets"] = loaded_results[info["id"]]
+            n_frames += 1
+            cls_default = 2 if cfg.dataset == "kitti_tracking" else 1
+            if runner is not None:
+                pending_ids.append(info["id"])
+                done = runner.submit(image, meta)
+                if done is not None:
+                    results[pending_ids.pop(0)] = tracks_to_results(
+                        done, cls_default)
+            else:
+                online = detector.run(image, meta, image_info=info)
+                results[info["id"]] = tracks_to_results(online, cls_default)
+        if runner is not None:
+            cls_default = 2 if cfg.dataset == "kitti_tracking" else 1
+            for done in runner.flush():
+                results[pending_ids.pop(0)] = tracks_to_results(done, cls_default)
+        logger.write(f"video {video_id}: {len(infos)} frames done")
+
+    fps = n_frames / max(time.time() - t_start, 1e-6)
+    logger.write(f"tracked {n_frames} frames at {fps:.2f} FPS")
+
+    os.makedirs(cfg.save_dir, exist_ok=True)
+    if cfg.save_results:
+        with open(os.path.join(cfg.save_dir,
+                               f"save_results_{cfg.dataset}.json"), "w") as f:
+            json.dump({str(k): _jsonable(v) for k, v in results.items()}, f)
+    metrics = dataset.run_eval(
+        results, cfg.save_dir,
+        gt_dir=os.path.join(extras["data_dir"], _dataset_dirname(cfg), "train")
+        if cfg.dataset == "mot" else None,
+    )
+    logger.close()
+    return metrics
+
+
+def _jsonable(items):
+    out = []
+    for it in items:
+        out.append({k: (v.tolist() if isinstance(v, np.ndarray) else v)
+                    for k, v in it.items()})
+    return out
+
+
+def _dataset_dirname(cfg):
+    if cfg.dataset == "mot":
+        year = int(cfg.dataset_version[:2]) if cfg.dataset_version else 17
+        return f"mot{year}"
+    return cfg.dataset
+
+
+if __name__ == "__main__":
+    main()
