@@ -83,7 +83,15 @@ def _merge_tolerant(init_tree, loaded_tree, prefix=""):
 
 
 def load_checkpoint(path: str, model, cfg, params=None, batch_stats=None):
-    """Load a checkpoint into ``{"params", "batch_stats"}`` variables."""
+    """Load a checkpoint into ``{"params", "batch_stats"}`` variables.
+
+    ``.pth`` files are treated as reference PyTorch checkpoints and routed
+    through the torch converter (published DEFT weights load directly).
+    """
+    if path.endswith(".pth"):
+        from deft_tpu.train.torch_convert import convert_torch_checkpoint
+
+        return convert_torch_checkpoint(path, cfg)
     loaded = _restore_numpy(os.path.abspath(path))
     if params is None:
         from deft_tpu.models.factory import init_model
