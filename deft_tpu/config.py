@@ -145,6 +145,8 @@ class Config:
     mesh_axis_names: Tuple[str, ...] = ("data",)
     param_dtype: str = "float32"
     compute_dtype: str = "float32"            # bfloat16 for speed once validated
+    dcn_impl: str = "gather"                  # gather | shift | pallas
+    dcn_offset_range: int = 4                 # offset clamp for shift/pallas
     align_corners: bool = True                # torch-1.2 grid_sample semantics
 
     # ---- derived (filled by finalize / wire_dataset) --------------------------

@@ -92,6 +92,8 @@ class DCNv2(nn.Module):
     kernel: int = 3
     dilation: int = 1
     dtype: object = None
+    impl: str = "gather"        # gather (exact) | shift | pallas (R-bounded)
+    offset_range: int = 4
 
     @nn.compact
     def __call__(self, x):
@@ -116,10 +118,6 @@ class DCNv2(nn.Module):
         mask = jax.nn.sigmoid(om[..., 2 * kk : 3 * kk])
         offsets = jnp.stack([dy, dx], axis=-1)  # [B, H, W, KK, 2]
 
-        patches = jax.vmap(
-            lambda xi, oi, mi: deform_sample(xi, oi, mi, self.kernel, self.dilation)
-        )(x, offsets, mask)  # [B, H, W, KK*C]
-
         weight = self.param(
             "weight",
             # matches torch's default Conv2d init (kaiming_uniform a=sqrt(5))
@@ -127,6 +125,27 @@ class DCNv2(nn.Module):
             (kk * c, self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+        if self.impl in ("shift", "pallas"):
+            from deft_tpu.ops.pallas_dcn import (
+                deform_conv_pallas_tap,
+                deform_conv_shift_xla,
+            )
+
+            fn = (deform_conv_shift_xla if self.impl == "shift"
+                  else deform_conv_pallas_tap)
+            w = (weight.astype(self.dtype) if self.dtype is not None
+                 else weight)
+            out = jax.vmap(
+                lambda xi, oi, mi: fn(xi, oi, mi, w, bias,
+                                      radius=self.offset_range,
+                                      kernel=self.kernel)
+            )(x, offsets, mask)
+            return out.astype(self.dtype) if self.dtype is not None else out
+
+        patches = jax.vmap(
+            lambda xi, oi, mi: deform_sample(xi, oi, mi, self.kernel, self.dilation)
+        )(x, offsets, mask)  # [B, H, W, KK*C]
         if self.dtype is not None:
             weight = weight.astype(self.dtype)
             patches = patches.astype(self.dtype)

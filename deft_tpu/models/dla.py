@@ -164,10 +164,13 @@ class DeformNode(nn.Module):
 
     features: int
     dtype: Optional[str] = None
+    dcn_impl: str = "gather"
+    dcn_offset_range: int = 4
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = DCNv2(self.features, dtype=self.dtype, name="conv")(x)
+        x = DCNv2(self.features, dtype=self.dtype, impl=self.dcn_impl,
+                  offset_range=self.dcn_offset_range, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=BN_EPS, dtype=self.dtype, name="actf_bn")(x)
         return nn.relu(x)
@@ -185,8 +188,10 @@ class ConvNode(nn.Module):
 
 
 def _make_node(node_type: str, features: int, name: str, dtype=None):
-    if node_type == "dcn":
-        return DeformNode(features, dtype=dtype, name=name)
+    if node_type.startswith("dcn"):
+        impl = {"dcn": "gather", "dcn_shift": "shift",
+                "dcn_pallas": "pallas"}[node_type]
+        return DeformNode(features, dtype=dtype, dcn_impl=impl, name=name)
     if node_type == "conv":
         return ConvNode(features, dtype=dtype, name=name)
     raise ValueError(f"unknown dla node type: {node_type}")

@@ -29,11 +29,14 @@ def create_model(arch: str, cfg: Config) -> DEFTNet:
         dtype = None if cfg.compute_dtype in ("float32", "") else jnp.dtype(
             cfg.compute_dtype
         )
+        node = cfg.dla_node
+        if node == "dcn" and cfg.dcn_impl != "gather":
+            node = f"dcn_{cfg.dcn_impl}"
         return DEFTNet(
             heads=dict(cfg.heads),
             head_convs={h: tuple(c) for h, c in cfg.head_convs.items()},
             dataset=cfg.dataset,
-            dla_node=cfg.dla_node,
+            dla_node=node,
             max_object=cfg.max_object,
             prior_bias=cfg.prior_bias,
             head_kernel=cfg.head_kernel,

@@ -12,14 +12,27 @@ pipeline, per the BASELINE design.
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import numpy as np
 from scipy.optimize import linear_sum_assignment
 
+_USE_NATIVE = os.environ.get("DEFT_USE_NATIVE", "0") == "1"
+
 
 def linear_assignment(cost: np.ndarray, thresh: float) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Returns (matches [K, 2], unmatched_rows, unmatched_cols)."""
+    """Returns (matches [K, 2], unmatched_rows, unmatched_cols).
+
+    With DEFT_USE_NATIVE=1 the in-tree C++ JV solver is used (also the
+    fallback when scipy is unavailable); both produce the same optimal
+    objective.
+    """
+    if _USE_NATIVE:
+        from deft_tpu import native
+
+        if native.AVAILABLE:
+            return native.lapjv(np.asarray(cost, np.float64), thresh)
     cost = np.asarray(cost, dtype=np.float64)
     if cost.size == 0:
         return (
