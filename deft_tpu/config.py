@@ -80,6 +80,8 @@ class Config:
     test_focal_length: int = -1
     vis_thresh: float = 0.3
     eval_val: bool = False
+    save_video: bool = False
+    trainval: bool = False
 
     # ---- data augmentation --------------------------------------------------
     not_rand_crop: bool = False

@@ -86,7 +86,9 @@ class Detector:
         self._jax = jax
         self._jnp = jnp
         self._detect = jax.jit(
-            lambda v, img: model.apply(v, img, k=cfg.K, method="detect")
+            lambda v, img: model.apply(v, img, k=cfg.K,
+                                       flip_test=cfg.flip_test,
+                                       method="detect")
         )
         self._winsim = jax.jit(
             lambda v, w, c, e, n: model.apply(v, w, c, e, n,

@@ -76,6 +76,7 @@ class DEFTNet(nn.Module):
     with_pre_img: bool = False
     with_pre_hm: bool = False
     align_corners: bool = True
+    depth_scale: float = 1.0
     dtype: object = None   # compute dtype for trunk/heads/selectors
 
     def setup(self):
@@ -141,7 +142,8 @@ class DEFTNet(nn.Module):
 
     # ---- fused per-frame inference program ------------------------------------
 
-    def detect(self, image, k: int = 100, pre_img=None, pre_hm=None):
+    def detect(self, image, k: int = 100, pre_img=None, pre_hm=None,
+               flip_test: bool = False):
         """One jitted program: forward -> sigmoid -> decode -> embed-extract.
 
         Returns (dets, embeddings):
@@ -150,10 +152,37 @@ class DEFTNet(nn.Module):
             (amodal) box centers, normalized to [-1, 1] over the INPUT
             resolution like the tracker's convert_detection (image.py:391-412;
             centers use the box center in input pixels = 4x the output grid).
+
+        ``flip_test`` runs the horizontally flipped image through the trunk
+        too and averages head outputs per the reference's table
+        (detector.py:496-528: hm/wh/dep/dim averaged, amodel_offset averaged
+        with negated x, everything else taken from the unflipped pass).
         """
-        outputs, feature_maps = self(image, pre_img, pre_hm, train=False)
-        outputs = dict(outputs)
+        if flip_test:
+            both = jnp.concatenate([image, image[:, :, ::-1, :]], axis=0)
+            outputs, feature_maps = self(both, None, None, train=False)
+            outputs = dict(outputs)
+            flip = lambda t: t[1:2, :, ::-1, :]
+            for head in list(outputs):
+                o = outputs[head]
+                if head in ("hm", "wh", "dep", "dim"):
+                    outputs[head] = (o[0:1] + flip(o)) / 2.0
+                elif head == "amodel_offset":
+                    f = flip(o)
+                    f = f.at[..., 0::2].multiply(-1.0)
+                    outputs[head] = (o[0:1] + f) / 2.0
+                else:
+                    outputs[head] = o[0:1]
+            feature_maps = [fm[0:1] for fm in feature_maps]
+        else:
+            outputs, feature_maps = self(image, pre_img, pre_hm, train=False)
+            outputs = dict(outputs)
         outputs["hm"] = clamped_sigmoid(outputs["hm"])
+        if "dep" in outputs:
+            # inference depth decode (detector.py:489-494)
+            outputs["dep"] = (
+                1.0 / (jax.nn.sigmoid(outputs["dep"]) + 1e-6) - 1.0
+            ) * self.depth_scale
         dets = decode_ops.generic_decode(outputs, k=k)
 
         bboxes = dets.get("bboxes")

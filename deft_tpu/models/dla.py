@@ -176,6 +176,32 @@ class DeformNode(nn.Module):
         return nn.relu(x)
 
 
+class GlobalConvNode(nn.Module):
+    """Separable large-kernel conv node ("gcn", dla.py:589-643): sum of a
+    (k,1)->(1,k) and a (1,k)->(k,1) branch, then BN + ReLU."""
+
+    features: int
+    k: int = 7
+    dtype: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = self.k
+        p = k // 2
+        gl = nn.Conv(self.features, (k, 1), padding=((p, p), (0, 0)),
+                     use_bias=False, dtype=self.dtype, name="gcl_0")(x)
+        gl = nn.Conv(self.features, (1, k), padding=((0, 0), (p, p)),
+                     use_bias=False, dtype=self.dtype, name="gcl_1")(gl)
+        gr = nn.Conv(self.features, (1, k), padding=((0, 0), (p, p)),
+                     use_bias=False, dtype=self.dtype, name="gcr_0")(x)
+        gr = nn.Conv(self.features, (k, 1), padding=((p, p), (0, 0)),
+                     use_bias=False, dtype=self.dtype, name="gcr_1")(gr)
+        out = gl + gr
+        out = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                           epsilon=BN_EPS, dtype=self.dtype, name="act_bn")(out)
+        return nn.relu(out)
+
+
 class ConvNode(nn.Module):
     """1x1 conv -> BN -> ReLU ("conv" node, dla.py:576-586)."""
 
@@ -194,6 +220,13 @@ def _make_node(node_type: str, features: int, name: str, dtype=None):
         return DeformNode(features, dtype=dtype, dcn_impl=impl, name=name)
     if node_type == "conv":
         return ConvNode(features, dtype=dtype, name=name)
+    if node_type == "gcn":
+        # reference pairs a 1x1 Conv proj with a GlobalConv node
+        # (DLA_NODE["gcn"] = (Conv, GlobalConv), dla.py:751-755); the proj/
+        # node distinction is carried by the caller's name
+        if name.startswith("proj"):
+            return ConvNode(features, dtype=dtype, name=name)
+        return GlobalConvNode(features, dtype=dtype, name=name)
     raise ValueError(f"unknown dla node type: {node_type}")
 
 

@@ -43,6 +43,7 @@ def create_model(arch: str, cfg: Config) -> DEFTNet:
             with_pre_img=cfg.pre_img,
             with_pre_hm=cfg.pre_hm,
             align_corners=cfg.align_corners,
+            depth_scale=cfg.depth_scale,
             dtype=dtype,
         )
     if name == "generic":

@@ -55,6 +55,17 @@ def topk(scores: jnp.ndarray, k: int = 100):
     return top_score, inds, clses, ys, xs
 
 
+def topk_channel(scores: jnp.ndarray, k: int = 100):
+    """Per-channel top-k (model/utils.py:77-86): NHWC scores ->
+    (score, inds, ys, xs) each [B, C, K]."""
+    b, h, w, c = scores.shape
+    flat = scores.transpose(0, 3, 1, 2).reshape(b, c, h * w)
+    top_scores, top_inds = jax.lax.top_k(flat, k)
+    ys = (top_inds // w).astype(jnp.float32)
+    xs = (top_inds % w).astype(jnp.float32)
+    return top_scores, top_inds, ys, xs
+
+
 def gather_feat(feat: jnp.ndarray, inds: jnp.ndarray) -> jnp.ndarray:
     """Gather per-pixel head values at flat spatial indices.
 

@@ -19,8 +19,25 @@ from deft_tpu.tracking.kalman import chi2inv95
 
 __all__ = [
     "linear_assignment", "ious", "iou_distance", "iou_ddd_distance",
-    "embedding_distance", "gate_cost_matrix", "fuse_motion", "fuse_motion_ddd",
+    "embedding_distance", "gate_cost_matrix", "fuse_motion",
+    "fuse_motion_ddd", "merge_matches",
 ]
+
+
+def merge_matches(m1, m2, shape):
+    """Compose two partial matchings (matching.py:11-25): (O->P) . (P->Q)."""
+    o, p, q = shape
+    a = np.zeros((o, p), bool)
+    b = np.zeros((p, q), bool)
+    for i, j in np.asarray(m1).reshape(-1, 2):
+        a[i, j] = True
+    for i, j in np.asarray(m2).reshape(-1, 2):
+        b[i, j] = True
+    mask = a @ b
+    match = [(i, j) for i, j in zip(*np.nonzero(mask))]
+    unmatched_o = tuple(set(range(o)) - {i for i, _ in match})
+    unmatched_q = tuple(set(range(q)) - {j for _, j in match})
+    return match, unmatched_o, unmatched_q
 
 
 def ious(atlbrs, btlbrs) -> np.ndarray:

@@ -86,6 +86,8 @@ def main(argv=None):
     use_pipeline = cfg.dataset != "nuscenes"
     runner = PipelinedRunner(detector) if use_pipeline else None
 
+    from deft_tpu.utils.visualize import VideoWriter, plot_tracking
+
     results = {}
     videos = group_videos(dataset)
     t_start = time.time()
@@ -95,6 +97,11 @@ def main(argv=None):
             runner.reset()
         else:
             detector.reset_tracking()
+        writer = None
+        frame_cache = {}
+        if cfg.save_video:
+            writer = VideoWriter(os.path.join(
+                cfg.save_dir, f"video_{video_id}.mp4"))
         first = dataset.coco.load_img(infos[0]["id"])
         probe = cv2.imread(os.path.join(dataset.img_dir, first["file_name"]))
         if probe is not None:
@@ -113,19 +120,34 @@ def main(argv=None):
                 meta["cur_dets"] = loaded_results[info["id"]]
             n_frames += 1
             cls_default = 2 if cfg.dataset == "kitti_tracking" else 1
+            if writer is not None:
+                frame_cache[info["id"]] = image
             if runner is not None:
                 pending_ids.append(info["id"])
                 done = runner.submit(image, meta)
                 if done is not None:
-                    results[pending_ids.pop(0)] = tracks_to_results(
-                        done, cls_default)
+                    fid = pending_ids.pop(0)
+                    results[fid] = tracks_to_results(done, cls_default)
+                    if writer is not None:
+                        writer.write(plot_tracking(
+                            frame_cache.pop(fid), done, frame_id=fid))
             else:
                 online = detector.run(image, meta, image_info=info)
                 results[info["id"]] = tracks_to_results(online, cls_default)
+                if writer is not None:
+                    writer.write(plot_tracking(
+                        frame_cache.pop(info["id"]), online,
+                        frame_id=info["id"]))
         if runner is not None:
             cls_default = 2 if cfg.dataset == "kitti_tracking" else 1
             for done in runner.flush():
-                results[pending_ids.pop(0)] = tracks_to_results(done, cls_default)
+                fid = pending_ids.pop(0)
+                results[fid] = tracks_to_results(done, cls_default)
+                if writer is not None:
+                    writer.write(plot_tracking(
+                        frame_cache.pop(fid), done, frame_id=fid))
+        if writer is not None:
+            writer.release()
         logger.write(f"video {video_id}: {len(infos)} frames done")
 
     fps = n_frames / max(time.time() - t_start, 1e-6)
