@@ -44,6 +44,8 @@ def main():
     ap.add_argument("--warmup", type=int, default=15)
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--no-pipeline", action="store_true")
+    ap.add_argument("--chunk", type=int, default=1,
+                    help="frames per device dispatch (amortizes round trips)")
     ap.add_argument("--max-dets", type=int, default=0,
                     help="cap detections/frame fed to the cascade (0 = all "
                          "K=100; 32 emulates typical trained-detector load)")
@@ -69,7 +71,8 @@ def main():
 
     det = Detector(cfg)
     det.img_height, det.img_width = 1080, 1920
-    runner = PipelinedRunner(det, depth=1 if args.no_pipeline else 3)
+    runner = PipelinedRunner(det, depth=1 if args.no_pipeline else 3,
+                             chunk=args.chunk)
     if args.max_dets > 0:
         inner_finish = runner._finish
 
@@ -98,7 +101,8 @@ def main():
         "vs_baseline": round(fps / 60.0, 3),
     }))
     print(f"# frames={frames} elapsed={elapsed:.2f}s tracks/frame={n_tracks:.1f} "
-          f"dtype={dtype} pipeline_depth={runner.depth}", file=sys.stderr)
+          f"dtype={dtype} pipeline_depth={runner.depth} chunk={runner.chunk}",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -2,8 +2,10 @@
 
 Mirror of ``/root/reference/src/lib/utils/post_process.py:29-134``
 (``generic_post_process``): inverse-affine back-transform of centers/boxes,
-alpha from the 2-bin rot head, 3-D location via unprojection.  Host-side
-numpy over the K decoded detections.
+alpha from the 2-bin rot head, 3-D location via unprojection.  The 2-D
+geometry is vectorized over all K detections (one matmul against the inverse
+affine instead of the reference's per-detection transform); only the
+thresholded survivors get python dicts.
 """
 
 from __future__ import annotations
@@ -27,48 +29,71 @@ def generic_post_process(dets: Dict[str, np.ndarray], centers, scales,
     if "scores" not in dets:
         return [[]]
     ret = []
+    has_ddd = "rot" in dets and "dep" in dets and "dim" in dets
     for i in range(len(dets["scores"])):
-        preds = []
         trans = get_affine_transform(
             centers[i], scales[i], 0, (out_w, out_h), inv=True
         ).astype(np.float32)
-        for j in range(len(dets["scores"][i])):
-            if dets["scores"][i][j] < out_thresh:
-                break
+        scores = np.asarray(dets["scores"][i])
+        # scores are sorted; detections stop at the first below-threshold one
+        n = int(np.searchsorted(-scores, -out_thresh, side="right"))
+        if n == 0:
+            ret.append([])
+            continue
+
+        cts = transform_preds_with_trans(
+            np.asarray(dets["cts"][i][:n], np.float32).reshape(-1, 2), trans
+        )
+        clses = np.asarray(dets["clses"][i][:n]).astype(int) + 1
+
+        tracking = None
+        if "tracking" in dets:
+            tr = transform_preds_with_trans(
+                (np.asarray(dets["tracking"][i][:n])
+                 + np.asarray(dets["cts"][i][:n])).reshape(-1, 2).astype(
+                     np.float32),
+                trans,
+            )
+            tracking = tr - cts
+        bboxes = None
+        if "bboxes" in dets:
+            bboxes = transform_preds_with_trans(
+                np.asarray(dets["bboxes"][i][:n], np.float32).reshape(-1, 2),
+                trans,
+            ).reshape(-1, 4)
+        alphas = get_alpha(np.asarray(dets["rot"][i][:n])) if "rot" in dets \
+            else None
+        amodel_ct = None
+        if has_ddd and "amodel_offset" in dets and calibs is not None:
+            ct_out = np.asarray(dets["bboxes"][i][:n]).reshape(-1, 2, 2).mean(
+                axis=1)
+            amodel_ct = transform_preds_with_trans(
+                (ct_out + np.asarray(dets["amodel_offset"][i][:n])).astype(
+                    np.float32),
+                trans,
+            )
+
+        preds = []
+        for j in range(n):
             item = {
-                "score": float(dets["scores"][i][j]),
-                "class": int(dets["clses"][i][j]) + 1,
-                "ct": transform_preds_with_trans(
-                    dets["cts"][i][j].reshape(1, 2), trans
-                ).reshape(2),
+                "score": float(scores[j]),
+                "class": int(clses[j]),
+                "ct": cts[j],
             }
-            if "tracking" in dets:
-                tracking = transform_preds_with_trans(
-                    (dets["tracking"][i][j] + dets["cts"][i][j]).reshape(1, 2),
-                    trans,
-                ).reshape(2)
-                item["tracking"] = tracking - item["ct"]
-            if "bboxes" in dets:
-                item["bbox"] = transform_preds_with_trans(
-                    dets["bboxes"][i][j].reshape(2, 2), trans
-                ).reshape(4)
+            if tracking is not None:
+                item["tracking"] = tracking[j]
+            if bboxes is not None:
+                item["bbox"] = bboxes[j]
             if "dep" in dets and len(dets["dep"][i]) > j:
                 item["dep"] = dets["dep"][i][j]
             if "dim" in dets and len(dets["dim"][i]) > j:
                 item["dim"] = dets["dim"][i][j]
-            if "rot" in dets and len(dets["rot"][i]) > j:
-                item["alpha"] = float(get_alpha(dets["rot"][i][j: j + 1])[0])
-            if ("rot" in dets and "dep" in dets and "dim" in dets
-                    and len(dets["dep"][i]) > j and calibs is not None):
-                if "amodel_offset" in dets and len(dets["amodel_offset"][i]) > j:
-                    ct_output = dets["bboxes"][i][j].reshape(2, 2).mean(axis=0)
-                    amodel_ct = ct_output + dets["amodel_offset"][i][j]
-                    ct = transform_preds_with_trans(
-                        amodel_ct.reshape(1, 2), trans
-                    ).reshape(2).tolist()
-                else:
-                    bbox = item["bbox"]
-                    ct = [(bbox[0] + bbox[2]) / 2, (bbox[1] + bbox[3]) / 2]
+            if alphas is not None:
+                item["alpha"] = float(alphas[j])
+            if has_ddd and calibs is not None and len(dets["dep"][i]) > j:
+                ct = (amodel_ct[j].tolist() if amodel_ct is not None
+                      else [(item["bbox"][0] + item["bbox"][2]) / 2,
+                            (item["bbox"][1] + item["bbox"][3]) / 2])
                 item["ct"] = ct
                 dep = float(np.ravel(item["dep"])[0])
                 item["loc"], item["rot_y"] = ddd2locrot(

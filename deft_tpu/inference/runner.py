@@ -28,13 +28,23 @@ import numpy as np
 from deft_tpu.inference.detector import Detector
 
 
+class _Ready:
+    """Future-shaped wrapper for already-fetched values."""
+
+    def __init__(self, value):
+        self._value = value
+
+    def result(self):
+        return self._value
+
+
 class PipelinedRunner:
     """Single-sequence tracking loop for MOT/KITTI (2-D datasets).
 
     nuScenes (per-class trackers, 3-D branch) uses Detector.run directly.
     """
 
-    def __init__(self, detector: Detector, depth: int = 3):
+    def __init__(self, detector: Detector, depth: int = 3, chunk: int = 1):
         import jax
         import jax.numpy as jnp
 
@@ -43,6 +53,7 @@ class PipelinedRunner:
         self.det = detector
         self.cfg = detector.cfg
         self.depth = depth
+        self.chunk = max(1, chunk)
         cfg = self.cfg
 
         class_filter = 1 if cfg.dataset == "kitti_tracking" else -1  # Car
@@ -54,8 +65,27 @@ class PipelinedRunner:
                 class_filter=class_filter, method="frame_step",
             )
 
+        def step_chunk(variables, images, state, thresh):
+            return model.apply(
+                variables, images, state, thresh, k=cfg.K,
+                class_filter=class_filter, method="frame_chunk",
+            )
+
         self._step = jax.jit(step, donate_argnums=(2,))
+        self._step_chunk = jax.jit(step_chunk, donate_argnums=(2,))
         self._fetch_pool = ThreadPoolExecutor(max_workers=max(depth, 2))
+
+        dims = {"scores": 1, "clses": 1, "cts": 2, "bboxes": 4,
+                "bboxes_amodal": 4, "tracking": 2, "dep": 1, "rot": 8,
+                "dim": 3, "amodel_offset": 2, "nuscenes_att": 8,
+                "velocity": 3}
+        present = {"scores", "clses", "cts"}
+        if {"wh", "ltrb", "ltrb_amodal"} & set(cfg.heads):
+            present.add("bboxes")
+        if "ltrb_amodal" in cfg.heads:
+            present.add("bboxes_amodal")
+        present |= {h for h in dims if h in cfg.heads}
+        self._layout = [(key, dims[key]) for key in sorted(present)]
         self.reset()
 
     def reset(self):
@@ -69,6 +99,7 @@ class PipelinedRunner:
             "ptr": jnp.zeros((), jnp.int32),
         }
         self._pending: List[Dict] = []
+        self._chunk_buf: List = []
         self.det.reset_tracking()
 
     # ---- pipeline ------------------------------------------------------------
@@ -84,22 +115,22 @@ class PipelinedRunner:
             self.state,
             self._jnp.float32(self.cfg.out_thresh),
         )
-        dets, sims, n_valid, self.state = outs
-        fut = self._fetch_pool.submit(self._jax.device_get,
-                                      (dets, sims, n_valid))
+        packed, sims, self.state = outs
+        fut = self._fetch_pool.submit(self._jax.device_get, (packed, sims))
         return {"future": fut, "meta": frame_meta}
 
     cap = 0  # optional cap on detections/frame (bench typical-load mode)
 
     def _finish(self, item) -> List:
-        dets, sims, n_valid = item["future"].result()
+        from deft_tpu.models.deft import unpack_dets
+
+        packed, sims = item["future"].result()
         meta = item["meta"]
-        n_valid = int(n_valid)
+        dets, n_valid = unpack_dets(np.asarray(packed), self._layout,
+                                    self.cfg.K)
         if self.cap:
             n_valid = min(n_valid, self.cap)
-        results = self.det.post_process(
-            {k: np.asarray(v) for k, v in dets.items()}, meta
-        )
+        results = self.det.post_process(dets, meta)
         if self.cfg.public_det and "cur_dets" in meta:
             results = meta["cur_dets"]
         if self.cfg.dataset == "kitti_tracking":
@@ -109,24 +140,67 @@ class PipelinedRunner:
         return self.det.tracker.update(results, None, sims=sims)
 
     def submit(self, image_bgr: np.ndarray, meta: Optional[dict] = None):
-        """Feed one frame; returns the OLDEST completed frame's tracks once
-        the pipeline is full, else None."""
-        self._pending.append(self._dispatch(image_bgr, meta))
-        if len(self._pending) > self.depth:
-            return self._finish(self._pending.pop(0))
-        return None
+        """Feed one frame; returns completed frames' tracks (a list when
+        chunked, a single track list otherwise) once the pipeline is full,
+        else None."""
+        warped, frame_meta = self.warp(image_bgr, meta)
+        return self.submit_warped(warped, frame_meta)
 
     def flush(self) -> List[List]:
+        if self.chunk > 1:
+            self._dispatch_chunk()
+            out = []
+            for item in self._pending:
+                out.extend(self._finish_chunk(item))
+            self._pending = []
+            return out
         out = [self._finish(item) for item in self._pending]
         self._pending = []
         return out
 
     def submit_warped(self, warped: np.ndarray, frame_meta: dict):
         """Feed an already-warped uint8 frame (see ``warp``)."""
+        if self.chunk > 1:
+            return self._submit_chunked(warped, frame_meta)
         self._pending.append(self._dispatch_warped(warped, frame_meta))
         if len(self._pending) > self.depth:
             return self._finish(self._pending.pop(0))
         return None
+
+    # ---- chunked dispatch (one round trip per `chunk` frames) ----------------
+
+    def _submit_chunked(self, warped, frame_meta):
+        self._chunk_buf.append((warped, frame_meta))
+        out = []
+        if len(self._chunk_buf) >= self.chunk:
+            self._dispatch_chunk()
+        while len(self._pending) > self.depth:
+            out.extend(self._finish_chunk(self._pending.pop(0)))
+        return out or None
+
+    def _dispatch_chunk(self):
+        if not self._chunk_buf:
+            return
+        frames = np.stack([w for w, _ in self._chunk_buf])
+        metas = [m for _, m in self._chunk_buf]
+        self._chunk_buf = []
+        outs = self._step_chunk(
+            self.det.variables, self._jnp.asarray(frames), self.state,
+            self._jnp.float32(self.cfg.out_thresh),
+        )
+        packed, sims, self.state = outs
+        fut = self._fetch_pool.submit(self._jax.device_get, (packed, sims))
+        self._pending.append({"future": fut, "metas": metas})
+
+    def _finish_chunk(self, item) -> List:
+        packed, sims = item["future"].result()
+        results = []
+        for t, meta in enumerate(item["metas"]):
+            results.append(self._finish({
+                "future": _Ready((packed[t], sims[t])),
+                "meta": meta,
+            }))
+        return results
 
     def warp(self, image_bgr: np.ndarray, meta: Optional[dict] = None):
         """Host half of preprocessing; safe to run on worker threads."""
@@ -167,7 +241,10 @@ class PipelinedRunner:
             for i in range(n):
                 done = self.submit(frames[i], metas[i] if metas else None)
                 if done is not None:
-                    results.append(done)
+                    if self.chunk > 1:
+                        results.extend(done)
+                    else:
+                        results.append(done)
             results.extend(self.flush())
             return results
         warp_futs = [

@@ -1,0 +1,123 @@
+"""nuScenes 3-D tracking cascade: per-class pre-step, ddd motion fusion,
+LSTM motion model state threading."""
+
+import numpy as np
+import pytest
+
+from deft_tpu.tracking.motion_lstm import LSTMMotion
+from deft_tpu.tracking.tracker import Tracker
+
+E = 704  # nuScenes embed dim
+
+
+def mock_similarity(window_embeds, counts, cur, n_cur):
+    import jax.numpy as jnp
+
+    w, m, _ = window_embeds.shape
+    d2 = jnp.sum((window_embeds[:, :, None, :] - cur[None, None, :, :]) ** 2,
+                 axis=-1)
+    sim = jnp.exp(-d2)
+    ids = jnp.arange(m)
+    valid = (ids[None, :, None] < counts[:, None, None]) & (ids[None, None, :]
+                                                            < n_cur)
+    sim = sim * valid
+    col = jnp.arange(m + 1)[None, None, :]
+    real = jnp.concatenate([sim, jnp.zeros((w, m, 1))], axis=-1)
+    unmatched = jnp.where(col == n_cur, 0.05, 0.0)
+    return jnp.where(col < n_cur, real, unmatched)
+
+
+def identity_embedding(i):
+    # strongly separated identities: the real dual-softmax AFE gives
+    # off-identity similarities near 0, so the mock should too
+    e = np.zeros(E, np.float32)
+    e[i % E] = 3.0
+    return e
+
+
+def make_frame_3d(ids, t):
+    """Cars moving in global space; image boxes + 3D fields."""
+    dets, embs, ddd, depths, orgs, subs = [], [], [], [], [], []
+    for i in ids:
+        x2d = 100.0 + 8 * t + 150 * i
+        dets.append({"bbox": np.array([x2d, 100.0, x2d + 60, 160.0]),
+                     "score": 0.8})
+        embs.append(identity_embedding(i))
+        gx = 10.0 * i + 1.0 * t          # global x moves with time
+        gy = 5.0 * i
+        ddd.append([1.5, 1.8, 4.2, gx, gy, 0.0, 0.1 * i])  # h w l x y z rot
+        depths.append([20.0 + 5 * i])
+        orgs.append([1.5, 1.8, 4.2, gx, gy, 20.0 + 5 * i, 0.1 * i])
+        subs.append([gx, gy, 0.0, 1.8, 4.2, 1.5, 1, 0, 0, 0])
+    return dets, np.stack(embs) if embs else np.zeros((0, E), np.float32), \
+        ddd, depths, orgs, subs
+
+
+@pytest.fixture
+def tracker():
+    motion = LSTMMotion("nuscenes")   # random weights; exercises the path
+    return Tracker("nuscenes", max_object=8, embed_dim=E,
+                   similarity_fn=mock_similarity, use_lstm=True,
+                   motion=motion)
+
+
+def test_nuscenes_cascade_consistent_ids(tracker):
+    hist = []
+    for t in range(5):
+        dets, embs, ddd, depths, orgs, subs = make_frame_3d([0, 1], t)
+        out = tracker.update(dets, embs, ddd_boxes=ddd, depths=depths,
+                             ddd_org_boxes=orgs, submission=subs,
+                             classe="car")
+        hist.append(sorted(tr.track_id for tr in out))
+    assert hist[0] == [1, 2]
+    assert all(h == hist[0] for h in hist[1:]), hist
+    # LSTM state threaded: tracks carry hidden state + future predictions
+    for tr in tracker.tracked_stracks:
+        assert tr.hn.shape == (1, 128)
+        assert len(tr.future_predictions) == 4      # nuScenes MAX_dis_fut
+        # predictions are [h, w, l, x, y, z, rot]
+        assert tr.future_predictions[1].shape == (7,)
+
+
+def test_nuscenes_pedestrian_skips_iou3d_prestep(tracker):
+    """classe == 'pedestrian' must bypass the 3-D IoU pre-association."""
+    for t in range(3):
+        dets, embs, ddd, depths, orgs, subs = make_frame_3d([0], t)
+        out = tracker.update(dets, embs, ddd_boxes=ddd, depths=depths,
+                             ddd_org_boxes=orgs, submission=subs,
+                             classe="pedestrian")
+    assert len(out) == 1 and out[0].track_id == 1
+
+
+def test_nuscenes_depth_gating(tracker):
+    """A detection jumping farther than 0.2*depth in 3-D space must not match
+    through fuse_motion_ddd (new id born)."""
+    for t in range(3):
+        dets, embs, ddd, depths, orgs, subs = make_frame_3d([0], t)
+        tracker.update(dets, embs, ddd_boxes=ddd, depths=depths,
+                       ddd_org_boxes=orgs, submission=subs, classe="car")
+    # teleport the object 100m away with a DIFFERENT appearance; the old
+    # track's gate (max(0.2*20, 10) = 10m) must reject it
+    dets, embs, ddd, depths, orgs, subs = make_frame_3d([3], 3)
+    ddd[0][3] += 100.0
+    orgs[0][3] += 100.0
+    out = tracker.update(dets, embs, ddd_boxes=ddd, depths=depths,
+                         ddd_org_boxes=orgs, submission=subs, classe="car")
+    assert max(tr.track_id for tr in out) >= 2   # fresh identity
+
+
+def test_per_class_trackers_share_ids():
+    from deft_tpu.tracking.basetrack import IdAllocator
+
+    ids = IdAllocator()
+    motion = LSTMMotion("nuscenes")
+    t_car = Tracker("nuscenes", 8, E, mock_similarity, use_lstm=True,
+                    motion=motion, ids=ids)
+    t_ped = Tracker("nuscenes", 8, E, mock_similarity, use_lstm=True,
+                    motion=motion, ids=ids)
+    dets, embs, ddd, depths, orgs, subs = make_frame_3d([0], 0)
+    a = t_car.update(dets, embs, ddd_boxes=ddd, depths=depths,
+                     ddd_org_boxes=orgs, submission=subs, classe="car")
+    b = t_ped.update(dets, embs, ddd_boxes=ddd, depths=depths,
+                     ddd_org_boxes=orgs, submission=subs, classe="pedestrian")
+    assert a[0].track_id != b[0].track_id   # global id uniqueness
