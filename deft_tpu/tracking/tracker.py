@@ -437,7 +437,9 @@ class STrack(BaseTrack):
     def tlwh_to_xyah(tlwh) -> np.ndarray:
         ret = np.asarray(tlwh, np.float64).copy()
         ret[:2] += ret[2:] / 2
-        ret[2] /= ret[3]
+        # degenerate zero-height boxes (possible from an untrained detector)
+        # get an epsilon height instead of an inf aspect ratio
+        ret[2] /= ret[3] if ret[3] != 0 else 1e-6
         return ret
 
     def to_xyah(self) -> np.ndarray:

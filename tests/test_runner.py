@@ -1,0 +1,79 @@
+"""Production runner: fused/pipelined/chunked paths are equivalent."""
+
+import numpy as np
+import pytest
+
+from deft_tpu.config import mot_config
+
+
+def make_frame(t, h=270, w=480, n_obj=4, seed=0):
+    rng = np.random.RandomState(seed)
+    img = np.full((h, w, 3), 40, np.uint8)
+    for i in range(n_obj):
+        speed = 1.0 + 3.0 * rng.rand()
+        y = int(rng.rand() * (h - 120))
+        x = int((30 + speed * 4 * t + i * w / n_obj) % (w - 80))
+        color = tuple(int(c) for c in rng.randint(60, 255, 3))
+        img[y: y + 100, x: x + 50] = color
+    return img
+
+
+@pytest.fixture(scope="module")
+def detector():
+    from deft_tpu.inference.detector import Detector
+
+    cfg = mot_config(input_h=128, input_w=160, dla_node="conv",
+                     track_thresh=1e-3, compute_dtype="float32")
+    return Detector(cfg)
+
+
+def ids_of(per_frame_tracks):
+    return [sorted(t.track_id for t in fr) for fr in per_frame_tracks]
+
+
+@pytest.mark.slow
+def test_pipelined_equals_direct_and_chunked(detector):
+    from deft_tpu.inference.detector import Detector
+    from deft_tpu.inference.runner import PipelinedRunner
+
+    frames = [make_frame(t) for t in range(8)]
+
+    r1 = PipelinedRunner(detector, depth=3, chunk=1)
+    ids_pipe = ids_of(r1.track_sequence(frames))
+
+    det2 = Detector(detector.cfg, model=detector.model,
+                    variables=detector.variables)
+    r3 = PipelinedRunner(det2, depth=2, chunk=3)
+    ids_chunk = ids_of(r3.track_sequence(frames))  # 8 % 3 != 0: partial flush
+
+    det3 = Detector(detector.cfg, model=detector.model,
+                    variables=detector.variables)
+    det3.img_height, det3.img_width = 270, 480
+    det3.reset_tracking()
+    ids_direct = ids_of([det3.run(f) for f in frames])
+
+    assert len(ids_pipe) == len(ids_chunk) == len(ids_direct) == 8
+    assert ids_pipe == ids_chunk == ids_direct
+
+
+@pytest.mark.slow
+def test_runner_reset_clears_state(detector):
+    from deft_tpu.inference.runner import PipelinedRunner
+
+    r = PipelinedRunner(detector, depth=2)
+    frames = [make_frame(t) for t in range(4)]
+    first = ids_of(r.track_sequence(frames))
+    r.reset()
+    second = ids_of(r.track_sequence(frames))
+
+    def canonical(seq):
+        remap = {}
+        out = []
+        for fr in seq:
+            out.append([remap.setdefault(i, len(remap)) for i in fr])
+        return out
+
+    # ids keep incrementing across sequences (reference: global counter,
+    # renumbered per video at write time); the STRUCTURE must repeat exactly
+    assert canonical(first) == canonical(second)
+    assert min(min(f) for f in second if f) > max(max(f) for f in first if f)
