@@ -19,6 +19,18 @@ Grid: one program per tile_h output rows.  The padded input stays in HBM
 
 ``deform_conv_shift_xla`` is the same math in pure XLA (correctness oracle
 on CPU and fallback); ``deform_conv_pallas`` is the TPU kernel.
+
+Status (v5e, 136x240x64->64 layer, offsets in +-3):
+  XLA gather (models/dcn.py)          12.8 ms   (baseline; ~24 GB/s gather)
+  shift-XLA per-tap (this file)        9.0 ms   exact within R
+  pallas fused (deform_conv_pallas)    OOMs VMEM stack when fully unrolled
+  pallas tap-grid hybrid               33 ms    correct; Mosaic materializes
+                                                a physical copy per shifted
+                                                slice, so the (2R+5)^2 reads
+                                                become (2R+5)^2 copies
+Round-2 leads: express the stencil so the shift rides the FMA's strided
+read (tpu.dynamic_rotate / per-row layout), or block columns so the halo
+fits registers.
 """
 
 from __future__ import annotations
@@ -152,6 +164,10 @@ def deform_conv_pallas(x, offsets, mask, weight, bias, radius: int = 4,
     xp = jnp.pad(x, ((pad, pad + (h_pad - h)),
                      (col_pad, col_pad),
                      (0, cp - c)))
+    # slab lives in VMEM as bf16: halves the unrolled slice footprint (the
+    # compile-time VMEM stack is the binding constraint) and matches the
+    # bf16 trunk compute path; weights/offsets/accumulation stay fp32
+    xp = xp.astype(jnp.bfloat16)
     if cp != c:
         wfull = jnp.zeros((kk * cp, cout), weight.dtype)
         for k in range(kk):
@@ -220,19 +236,20 @@ def _dcn_tap_kernel(xp_hbm, dy_ref, dx_ref, mask_ref, out_ref, slab_ref,
     span = 2 * r + 5
 
     def body(t, acc):
-        # dynamic row slice (dim 0, untiled: cheap); column shift via roll
-        # (lane-preserving rotate) + static aligned slice
-        su = t // span - (r + 2)
-        sv = t % span - (r + 2)
+        # dynamic ROW slice only (dim 0 is untiled -> cheap); the column
+        # shifts unroll statically inside, so Mosaic pipelines the 2r+5
+        # small FMAs per row-shift without per-iteration relayouts
+        su = t - (r + 2)
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy - (su.astype(jnp.float32) - kyf)))
-        wx = jnp.maximum(0.0, 1.0 - jnp.abs(dx - (sv.astype(jnp.float32) - kxf)))
-        rows = slab_ref[pl.ds(pad + su, tile_h), :, :]
-        rolled = pltpu.roll(rows, -sv, 1)
-        slab = rolled[:, col_pad: col_pad + width, :]
-        return acc + slab.astype(jnp.float32) * (wy * wx)[..., None]
+        rows = slab_ref[pl.ds(pad + su, tile_h), :, :].astype(jnp.float32)
+        for sv in range(-r - 2, r + 3):
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(dx - (sv - kxf)))
+            slab = rows[:, col_pad + sv: col_pad + sv + width, :]
+            acc = acc + slab * (wy * wx)[..., None]
+        return acc
 
     acc = jax.lax.fori_loop(
-        0, span * span, body,
+        0, span, body,
         jnp.zeros((tile_h, width, channels), jnp.float32),
     )
 
@@ -255,6 +272,10 @@ def deform_sample_pallas(x, offsets, mask, radius: int = 4, kernel: int = 3,
     cp = -(-c // 128) * 128
     xp = jnp.pad(x, ((pad, pad + (h_pad - h)), (col_pad, col_pad),
                      (0, cp - c)))
+    # bf16 slab: halves the unrolled VMEM slice footprint (the binding
+    # compile-time constraint) and matches the bf16 trunk compute path;
+    # offsets/weights/accumulation stay fp32
+    xp = xp.astype(jnp.bfloat16)
     offsets = jnp.pad(offsets, ((0, h_pad - h), (0, 0), (0, 0), (0, 0)))
     mask = jnp.pad(mask, ((0, h_pad - h), (0, 0), (0, 0)))
     # tap-major layouts so blocked trailing dims are (tile_h, w) / (w, cp)
@@ -277,7 +298,7 @@ def deform_sample_pallas(x, offsets, mask, radius: int = 4, kernel: int = 3,
         ],
         out_specs=pl.BlockSpec((1, th, w, cp), lambda i, k: (k, i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((th + 2 * pad, w + 2 * col_pad, cp), x.dtype),
+            pltpu.VMEM((th + 2 * pad, w + 2 * col_pad, cp), jnp.bfloat16),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
