@@ -41,7 +41,9 @@ def test_pallas_interpret_matches_gather(problem):
     out = np.asarray(deform_conv_pallas_tap(
         jnp.asarray(x), jnp.asarray(offs), jnp.asarray(mask),
         jnp.asarray(wt), jnp.asarray(b), radius=R, tile_h=8, interpret=True))
-    np.testing.assert_allclose(out, golden, rtol=1e-4, atol=1e-5)
+    # the kernel samples from a bf16 slab by design (VMEM footprint + bf16
+    # compute path); tolerance reflects bf16 input precision
+    np.testing.assert_allclose(out, golden, rtol=3e-2, atol=3e-2)
 
 
 def test_clamp_semantics(problem):
