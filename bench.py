@@ -63,10 +63,12 @@ def main():
     dtype = "float32" if args.fp32 else "bfloat16"
     if args.smoke:
         cfg = mot_config(input_h=128, input_w=160, dla_node="conv",
-                         track_thresh=1e-3, compute_dtype=dtype)
+                         track_thresh=1e-3, compute_dtype=dtype,
+                         sims_quant=True)
         frames, warmup = 12, 4
     else:
-        cfg = mot_config(track_thresh=1e-3, compute_dtype=dtype)
+        cfg = mot_config(track_thresh=1e-3, compute_dtype=dtype,
+                         sims_quant=True)
         frames, warmup = args.frames, args.warmup
 
     det = Detector(cfg)

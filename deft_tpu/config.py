@@ -149,6 +149,7 @@ class Config:
     compute_dtype: str = "float32"            # bfloat16 for speed once validated
     dcn_impl: str = "gather"                  # gather | shift | pallas
     dcn_offset_range: int = 4                 # offset clamp for shift/pallas
+    sims_quant: bool = False                  # uint8 similarity transfer
     align_corners: bool = True                # torch-1.2 grid_sample semantics
 
     # ---- derived (filled by finalize / wire_dataset) --------------------------

@@ -62,13 +62,15 @@ class PipelinedRunner:
         def step(variables, image, state, thresh):
             return model.apply(
                 variables, image, state, thresh, k=cfg.K,
-                class_filter=class_filter, method="frame_step",
+                class_filter=class_filter, sims_quant=cfg.sims_quant,
+                method="frame_step",
             )
 
         def step_chunk(variables, images, state, thresh):
             return model.apply(
                 variables, images, state, thresh, k=cfg.K,
-                class_filter=class_filter, method="frame_chunk",
+                class_filter=class_filter, sims_quant=cfg.sims_quant,
+                method="frame_chunk",
             )
 
         self._step = jax.jit(step, donate_argnums=(2,))
@@ -136,7 +138,11 @@ class PipelinedRunner:
         if self.cfg.dataset == "kitti_tracking":
             results = [d for d in results if d["class"] == 2]
         results = results[:n_valid] if len(results) > n_valid else results
-        sims = np.asarray(sims, dtype=np.float32)
+        sims = np.asarray(sims)
+        if sims.dtype == np.uint8:
+            sims = sims.astype(np.float32) / 255.0
+        else:
+            sims = sims.astype(np.float32)
         return self.det.tracker.update(results, None, sims=sims)
 
     def submit(self, image_bgr: np.ndarray, meta: Optional[dict] = None):

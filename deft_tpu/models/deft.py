@@ -233,7 +233,7 @@ class DEFTNet(nn.Module):
         return dets, embeddings
 
     def frame_step(self, image, state, out_thresh, k: int = 100,
-                   class_filter: int = -1):
+                   class_filter: int = -1, sims_quant: bool = False):
         """The fully fused per-frame tracking program (ONE host round trip).
 
         Runs detect, selects the valid detections (score >= out_thresh, and
@@ -308,10 +308,16 @@ class DEFTNet(nn.Module):
                 "nuscenes_att", "velocity")
         dets = {k2: v for k2, v in dets.items() if k2 in keep}
         packed = pack_dets(dets, n_valid)
-        return packed, sims.astype(jnp.float16), new_state
+        if sims_quant:
+            # probabilities in [0, 1] -> uint8/255: halves the download again
+            # (quantization error 0.002 on similarities; thresholds are 0.9)
+            sims_out = jnp.round(jnp.clip(sims, 0, 1) * 255.0).astype(jnp.uint8)
+        else:
+            sims_out = sims.astype(jnp.float16)
+        return packed, sims_out, new_state
 
     def frame_chunk(self, images, state, out_thresh, k: int = 100,
-                    class_filter: int = -1):
+                    class_filter: int = -1, sims_quant: bool = False):
         """``frame_step`` scanned over a chunk of frames in ONE program.
 
         Ring-buffer updates happen in frame order inside the scan, so the
@@ -325,7 +331,8 @@ class DEFTNet(nn.Module):
         """
         def body(carry, image):
             packed, sims, new_state = self.frame_step(
-                image[None], carry, out_thresh, k=k, class_filter=class_filter
+                image[None], carry, out_thresh, k=k,
+                class_filter=class_filter, sims_quant=sims_quant,
             )
             return new_state, (packed, sims)
 

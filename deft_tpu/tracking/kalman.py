@@ -103,7 +103,9 @@ class KalmanFilter:
 
     def update(self, mean, covariance, measurement):
         projected_mean, projected_cov = self.project(mean, covariance)
-        # gain via Cholesky solve
+        # gain via Cholesky solve; tiny jitter keeps zero-size boxes (h = 0
+        # from an untrained detector) from producing a singular projection
+        projected_cov = projected_cov + 1e-8 * np.eye(projected_cov.shape[0])
         l = np.linalg.cholesky(projected_cov)
         b = (covariance @ self._update_mat.T).T
         z = np.linalg.solve(l, b)
