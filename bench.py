@@ -45,7 +45,11 @@ def main():
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--no-pipeline", action="store_true")
     ap.add_argument("--chunk", type=int, default=1,
-                    help="frames per device dispatch (amortizes round trips)")
+                    help="frames per device dispatch. Measured on the "
+                         "tunneled v5e: chunk>1 LOSES to the pipelined "
+                         "single-frame path (big serialized transfers beat "
+                         "the RTT amortization); it wins when the device is "
+                         "locally attached")
     ap.add_argument("--max-dets", type=int, default=0,
                     help="cap detections/frame fed to the cascade (0 = all "
                          "K=100; 32 emulates typical trained-detector load)")
@@ -76,12 +80,6 @@ def main():
     runner = PipelinedRunner(det, depth=1 if args.no_pipeline else 3,
                              chunk=args.chunk)
     if args.max_dets > 0:
-        inner_finish = runner._finish
-
-        def capped_finish(item, _inner=inner_finish, _cap=args.max_dets):
-            item = dict(item)
-            return _inner(item, cap=_cap)
-
         runner.cap = args.max_dets
 
     fh, fw = (270, 480) if args.smoke else (1080, 1920)

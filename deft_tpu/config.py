@@ -173,6 +173,10 @@ class Config:
 def finalize(cfg: Config) -> Config:
     """Derived-field rules of the reference ``opts.parse()`` (opts.py:409-482)."""
     updates: Dict[str, object] = {}
+    if len(cfg.test_scales) != 1:
+        # parity with the reference, which asserts this in merge_outputs
+        # (detector.py:578: "multi_scale not supported!")
+        raise ValueError("multi-scale test_scales not supported")
     if cfg.test_dataset == "":
         updates["test_dataset"] = cfg.dataset
     if "tracking" in cfg.task:

@@ -61,6 +61,12 @@ def generic_post_process(dets: Dict[str, np.ndarray], centers, scales,
                 np.asarray(dets["bboxes"][i][:n], np.float32).reshape(-1, 2),
                 trans,
             ).reshape(-1, 4)
+        hps = None
+        if "hps" in dets:
+            hps = transform_preds_with_trans(
+                np.asarray(dets["hps"][i][:n], np.float32).reshape(-1, 2),
+                trans,
+            ).reshape(n, -1)
         alphas = get_alpha(np.asarray(dets["rot"][i][:n])) if "rot" in dets \
             else None
         amodel_ct = None
@@ -84,6 +90,8 @@ def generic_post_process(dets: Dict[str, np.ndarray], centers, scales,
                 item["tracking"] = tracking[j]
             if bboxes is not None:
                 item["bbox"] = bboxes[j]
+            if hps is not None:
+                item["hps"] = hps[j]
             if "dep" in dets and len(dets["dep"][i]) > j:
                 item["dep"] = dets["dep"][i][j]
             if "dim" in dets and len(dets["dim"][i]) > j:

@@ -110,8 +110,16 @@ def generic_decode(output: Dict[str, jnp.ndarray], k: int = 100) -> Dict[str, jn
         ys = ys0[..., None] + 0.5
 
     if "wh" in output:
-        wh = gather_feat(output["wh"], inds)                 # [B, K, 2]
+        wh = gather_feat(output["wh"], inds)                 # [B, K, 2] or [B, K, 2C]
         wh = jnp.maximum(wh, 0.0)
+        n_cat = output["hm"].shape[-1]
+        if wh.shape[2] == 2 * n_cat and n_cat > 1:
+            # category-specific wh (decode.py:136-141): pick the 2-vector of
+            # the detected class
+            wh = wh.reshape(b, -1, n_cat, 2)
+            wh = jnp.take_along_axis(
+                wh, clses[:, :, None, None].astype(jnp.int32), axis=2
+            )[:, :, 0, :]
         bboxes = jnp.concatenate(
             [
                 xs - wh[..., 0:1] / 2,
@@ -158,4 +166,96 @@ def generic_decode(output: Dict[str, jnp.ndarray], k: int = 100) -> Dict[str, jn
         ret["bboxes_amodal"] = amodal
         ret["bboxes"] = amodal
 
+    if "hps" in output:
+        num_joints = output["hps"].shape[-1] // 2
+        kps = gather_feat(output["hps"], inds)               # [B, K, J*2]
+        # offsets are center-relative (decode.py:199-203): x at even slots
+        kps = kps.reshape(b, -1, num_joints, 2) + cts[:, :, None, :]
+        kps = kps.reshape(b, -1, num_joints * 2)
+        kps, kps_score = update_kps_with_hm(
+            kps, output, num_joints, k,
+            bboxes=ret.get("bboxes"), scores=scores,
+        )
+        ret["hps"] = kps
+        ret["kps_score"] = kps_score
+
+    if output.get("pre_inds") is not None:
+        # previous-frame top-k centers from their flat indices (decode.py:213-219)
+        pre_inds = output["pre_inds"]
+        w = output["hm"].shape[2]
+        pre_ys = (pre_inds // w).astype(jnp.float32)
+        pre_xs = (pre_inds % w).astype(jnp.float32)
+        ret["pre_cts"] = jnp.stack([pre_xs, pre_ys], axis=2)
+
     return ret
+
+
+def update_kps_with_hm(kps, output, num_joints, k, bboxes=None, scores=None):
+    """Snap regressed keypoints to nearby keypoint-heatmap peaks.
+
+    Fixed-shape mirror of ``_update_kps_with_hm`` (decode.py:17-99): for each
+    joint, find the per-joint top-K heatmap peaks, match each regressed
+    keypoint to its nearest confident peak, and take the peak position unless
+    it falls outside the (expanded) detection box or scores below 0.2.
+
+    kps: [B, K, J*2] absolute coords; returns ([B, K, J*2], [B, K] score).
+    """
+    if "hm_hp" not in output:
+        return kps, kps
+    b = kps.shape[0]
+    thresh = 0.2
+    hm_hp = heat_nms(output["hm_hp"])                        # [B, H, W, J]
+    kps_j = kps.reshape(b, k, num_joints, 2).transpose(0, 2, 1, 3)  # [B,J,K,2]
+
+    hm_score, hm_inds, hm_ys, hm_xs = topk_channel(hm_hp, k=k)      # [B,J,K]
+    if "hp_offset" in output or "reg" in output:
+        off_map = output.get("hp_offset", output.get("reg"))
+        off = gather_feat(off_map, hm_inds.reshape(b, -1))          # [B,J*K,2]
+        off = off.reshape(b, num_joints, k, 2)
+        hm_xs = hm_xs + off[..., 0]
+        hm_ys = hm_ys + off[..., 1]
+    else:
+        hm_xs = hm_xs + 0.5
+        hm_ys = hm_ys + 0.5
+
+    conf = hm_score > thresh
+    hm_score = jnp.where(conf, hm_score, -1.0)
+    hm_xs = jnp.where(conf, hm_xs, -10000.0)
+    hm_ys = jnp.where(conf, hm_ys, -10000.0)
+    hm_kps = jnp.stack([hm_xs, hm_ys], axis=-1)              # [B,J,K,2]
+
+    # nearest peak per regressed keypoint: [B,J,K(reg),K(peak)]
+    dist = jnp.linalg.norm(kps_j[:, :, :, None, :] - hm_kps[:, :, None, :, :],
+                           axis=-1)
+    min_ind = jnp.argmin(dist, axis=3)                       # [B,J,K]
+    sel_score = jnp.take_along_axis(hm_score, min_ind, axis=2)[..., None]
+    sel_kps = jnp.take_along_axis(hm_kps, min_ind[..., None], axis=2)
+
+    reject = sel_score < thresh                              # [B,J,K,1]
+    if bboxes is not None:
+        box = bboxes[:, None, :, :]                          # [B,1,K,4]
+        l, t, r, bt = (box[..., 0:1], box[..., 1:2], box[..., 2:3],
+                       box[..., 3:4])
+    else:
+        l = jnp.min(kps_j[..., 0:1], axis=1, keepdims=True)
+        t = jnp.min(kps_j[..., 1:2], axis=1, keepdims=True)
+        r = jnp.max(kps_j[..., 0:1], axis=1, keepdims=True)
+        bt = jnp.max(kps_j[..., 1:2], axis=1, keepdims=True)
+        margin = 0.25
+        # NB: sequential updates on purpose -- the reference expands r/b using
+        # the ALREADY-moved l/t (decode.py:72-79)
+        l = l - (r - l) * margin
+        r = r + (r - l) * margin
+        t = t - (bt - t) * margin
+        bt = bt + (bt - t) * margin
+    reject = (
+        reject | (sel_kps[..., 0:1] < l) | (sel_kps[..., 0:1] > r)
+        | (sel_kps[..., 1:2] < t) | (sel_kps[..., 1:2] > bt)
+    )
+
+    det_score = scores[:, None, :, None]                     # [B,1,K,1]
+    kps_score = jnp.where(reject, det_score, sel_score)      # [B,J,K,1]
+    kps_score = scores * jnp.mean(kps_score[..., 0], axis=1)  # [B,K]
+    fused = jnp.where(reject, kps_j, sel_kps)                # [B,J,K,2]
+    fused = fused.transpose(0, 2, 1, 3).reshape(b, k, num_joints * 2)
+    return fused, kps_score

@@ -57,6 +57,40 @@ def test_pipelined_equals_direct_and_chunked(detector):
 
 
 @pytest.mark.slow
+def test_sims_quant_half_ulp(detector):
+    """uint8 similarity transfer: dequantized sims must sit within half a
+    quantization step (0.5/255) of the fp path on identical input + ring
+    state.  (Track-ID equality is NOT the contract: with marginal similarity
+    values a 1/255 rounding can legitimately flip an assignment.)"""
+    import jax.numpy as jnp
+
+    cfg = detector.cfg
+    model = detector.model
+    frame, _ = detector.pre_process(make_frame(0))      # [1, H, W, 3]
+    state = {
+        "embeds": jnp.zeros((50, cfg.max_object, detector.embed_dim),
+                            jnp.float32),
+        "counts": jnp.zeros((50,), jnp.int32),
+        "ptr": jnp.zeros((), jnp.int32),
+    }
+    # seed the ring with one frame so the second call has real similarities
+    _, _, state = model.apply(detector.variables, frame, state,
+                              jnp.float32(cfg.out_thresh), k=cfg.K,
+                              method="frame_step")
+    frame2, _ = detector.pre_process(make_frame(1))
+    args = (detector.variables, frame2, dict(state),
+            jnp.float32(cfg.out_thresh))
+    _, sims_fp, _ = model.apply(*args, k=cfg.K, sims_quant=False,
+                                method="frame_step")
+    _, sims_q, _ = model.apply(*args, k=cfg.K, sims_quant=True,
+                               method="frame_step")
+    assert sims_q.dtype == jnp.uint8
+    sims_fp = np.asarray(sims_fp, np.float32)
+    deq = np.asarray(sims_q).astype(np.float32) / 255.0
+    assert np.abs(deq - np.clip(sims_fp, 0, 1)).max() <= 0.5 / 255 + 1e-3
+
+
+@pytest.mark.slow
 def test_runner_reset_clears_state(detector):
     from deft_tpu.inference.runner import PipelinedRunner
 
