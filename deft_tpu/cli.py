@@ -72,8 +72,14 @@ def parse_config(argv: Optional[Sequence[str]] = None):
     }
     d.pop("gpus", None)
     for tf in _TUPLE_FIELDS:
-        d[tf] = tuple(float(x) if tf == "test_scales" else int(x)
-                      for x in str(d[tf]).split(",") if x != "")
+        try:
+            d[tf] = tuple(float(x) if tf == "test_scales" else int(x)
+                          for x in str(d[tf]).split(",") if x != "")
+        except ValueError:
+            raise SystemExit(
+                f"error: --{tf} expects a comma-separated list of numbers, "
+                f"got {d[tf]!r}"
+            )
     valid = {f.name for f in dataclasses.fields(Config)}
     d = {k: v for k, v in d.items() if k in valid}
     cfg = finalize(Config(**d))
