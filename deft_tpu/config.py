@@ -173,7 +173,9 @@ class Config:
 def finalize(cfg: Config) -> Config:
     """Derived-field rules of the reference ``opts.parse()`` (opts.py:409-482)."""
     updates: Dict[str, object] = {}
-    if len(cfg.test_scales) != 1:
+    if len(cfg.test_scales) == 0:
+        raise ValueError("test_scales needs at least one value")
+    if len(cfg.test_scales) > 1:
         # parity with the reference, which asserts this in merge_outputs
         # (detector.py:578: "multi_scale not supported!")
         raise ValueError("multi-scale test_scales not supported")
