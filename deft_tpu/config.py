@@ -108,6 +108,13 @@ class Config:
     new_thresh: float = 0.3
     max_frame_dist: int = 1
     public_det: bool = False
+    # Reference-parity embedding sampling: the reference normalizes AFE
+    # sample centers by the ORIGINAL image dims although the feature maps
+    # live in the warped input frame (utils/tracker.py:818, test.py:163-164).
+    # Default (False) samples at the warped-input-frame centers -- where the
+    # features actually are; True reproduces the reference quirk exactly for
+    # bit-matched affinity comparisons.
+    embed_parity: bool = False
     zero_tracking: bool = False
     hungarian: bool = False
     max_age: int = -1
@@ -147,9 +154,13 @@ class Config:
     mesh_axis_names: Tuple[str, ...] = ("data",)
     param_dtype: str = "float32"
     compute_dtype: str = "float32"            # bfloat16 for speed once validated
-    dcn_impl: str = "gather"                  # gather | shift | pallas
+    dcn_impl: str = "gather"                  # gather | shift | pallas | onehot
     dcn_offset_range: int = 4                 # offset clamp for shift/pallas
     sims_quant: bool = False                  # uint8 similarity transfer
+    # similarity window actually evaluated/downloaded per frame: -1 = auto
+    # (freshness_window(dataset) + 2 -- frames beyond it carry temporal decay
+    # <= 0.01^((F+1)/3) ~ 0, tracker.py:76-90), 0 = the full 50-slot ring
+    sim_window: int = -1
     align_corners: bool = True                # torch-1.2 grid_sample semantics
 
     # ---- derived (filled by finalize / wire_dataset) --------------------------

@@ -20,6 +20,7 @@ to the crop's aspect mismatch.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Dict, List, Optional
 
@@ -42,6 +43,36 @@ from deft_tpu.utils.timer import StageTimers
 
 MEAN = np.array([0.40789654, 0.44719302, 0.47026115], np.float32)
 STD = np.array([0.28863828, 0.27408164, 0.27809835], np.float32)
+
+
+def public_det_centers(cur_dets, meta, max_object: int,
+                       embed_parity: bool = False):
+    """Normalized AFE sample centers for externally-provided detections.
+
+    The --public_det path (reference detector.py:193-198) discards model
+    detections and extracts embeddings at the PUBLIC boxes' centers
+    (utils/tracker.py:776-831 via convert_detection, image.py:391-412).
+
+    Default mode maps the original-pixel box centers through the input
+    affine warp and normalizes by the INPUT dims (sampling exactly where the
+    feature maps live).  ``embed_parity`` reproduces the reference's
+    normalization by the ORIGINAL image dims instead (tracker.py:818).
+
+    Returns ([max_object, 2] float32 centers in [-1, 1], n valid).
+    """
+    n = min(len(cur_dets), max_object)
+    centers = np.zeros((max_object, 2), np.float32)
+    for i in range(n):
+        b = np.asarray(cur_dets[i]["bbox"], np.float64)
+        cx, cy = (b[0] + b[2]) / 2.0, (b[1] + b[3]) / 2.0
+        if embed_parity:
+            centers[i] = (2.0 * cx / meta["width"] - 1.0,
+                          2.0 * cy / meta["height"] - 1.0)
+        else:
+            pt = meta["trans_input"] @ np.array([cx, cy, 1.0])
+            centers[i] = (2.0 * pt[0] / meta["inp_width"] - 1.0,
+                          2.0 * pt[1] / meta["inp_height"] - 1.0)
+    return centers, n
 
 
 class Detector:
@@ -86,17 +117,30 @@ class Detector:
         self._jax = jax
         self._jnp = jnp
         self._detect = jax.jit(
-            lambda v, img: model.apply(v, img, k=cfg.K,
-                                       flip_test=cfg.flip_test,
-                                       method="detect")
+            lambda v, img, ptf: model.apply(v, img, k=cfg.K,
+                                            flip_test=cfg.flip_test,
+                                            parity_tf=ptf, method="detect")
         )
         self._winsim = jax.jit(
             lambda v, w, c, e, n: model.apply(v, w, c, e, n,
                                               method="window_similarity")
         )
+        self._embed = jax.jit(
+            lambda v, img, c: model.apply(v, img, c, method="embed_image")
+        )
         self.ids = IdAllocator()
         self.img_height = 100
         self.img_width = 100
+        self.debugger = None
+        self._debug_cnt = 0
+        self._pre_image_ori = None
+        if cfg.debug >= 2:
+            # raw sigmoided heatmap for the pred_hm board (the fused detect
+            # program only ships decoded top-K; debug mode pays one extra
+            # forward, mirroring detector.py:175-184)
+            self._debug_hm = jax.jit(
+                lambda v, img: jax.nn.sigmoid(model.apply(v, img)[0]["hm"])
+            )
         self.timers = StageTimers(
             ["load", "pre", "net", "post", "merge", "track", "tot"]
         )
@@ -180,6 +224,7 @@ class Detector:
             "c": c, "s": s, "height": height, "width": width,
             "out_height": out_h, "out_width": out_w,
             "inp_height": inp_h, "inp_width": inp_w,
+            "trans_input": trans_input,
         }
         for k in ("pre_dets", "cur_dets"):
             if k in input_meta:
@@ -188,10 +233,19 @@ class Detector:
 
     # ---- the per-frame program -----------------------------------------------
 
-    def process(self, images: np.ndarray):
+    def process(self, images: np.ndarray, meta: Optional[dict] = None):
         """Device step: returns (dets dict of np arrays, embeddings np)."""
         jnp = self._jnp
-        dets, emb = self._detect(self.variables, jnp.asarray(images))
+        ptf = None
+        if self.cfg.embed_parity and meta is not None:
+            ptf = np.concatenate([
+                np.asarray(get_affine_transform(
+                    meta["c"], meta["s"], 0,
+                    [meta["inp_width"], meta["inp_height"]], inv=True,
+                ), np.float32).reshape(-1),
+                np.asarray([meta["width"], meta["height"]], np.float32),
+            ])
+        dets, emb = self._detect(self.variables, jnp.asarray(images), ptf)
         dets = {k: np.asarray(v) for k, v in dets.items()}
         return dets, np.asarray(emb)
 
@@ -223,8 +277,28 @@ class Detector:
             images, meta = self.pre_process(image, 1.0, meta)
         self.timers.add("pre", time.time() - t1)
 
+        if self.cfg.public_det and "cur_dets" in meta:
+            # public-detection mode: the model's detections are discarded;
+            # embeddings are sampled at the PUBLIC boxes' centers
+            # (detector.py:193-198 + utils/tracker.py:776-831)
+            t2 = time.time()
+            results = list(meta["cur_dets"])[: self.cfg.max_object]
+            centers, n = public_det_centers(
+                results, meta, self.cfg.max_object, self.cfg.embed_parity
+            )
+            emb = np.asarray(self._embed(
+                self.variables, self._jnp.asarray(images),
+                self._jnp.asarray(centers[None]),
+            ))[0][:n]
+            self.timers.add("net", time.time() - t2)
+            t4 = time.time()
+            online = self.tracker.update(results, emb)
+            self.timers.add("track", time.time() - t4)
+            self.timers.add("tot", time.time() - t0)
+            return online
+
         t2 = time.time()
-        dets, emb = self.process(images)
+        dets, emb = self.process(images, meta)
         self.timers.add("net", time.time() - t2)
 
         t3 = time.time()
@@ -233,8 +307,6 @@ class Detector:
         self.timers.add("post", time.time() - t3)
 
         t4 = time.time()
-        if self.cfg.public_det and "cur_dets" in meta:
-            results = meta["cur_dets"]
 
         if self.dataset == "nuscenes":
             online = self._update_nuscenes(results, emb, image_info)
@@ -246,8 +318,57 @@ class Detector:
         else:
             online = self.tracker.update(results, emb)
         self.timers.add("track", time.time() - t4)
+        if self.cfg.debug >= 1:
+            self.show_debug(image, images, results, online)
         self.timers.add("tot", time.time() - t0)
         return online
+
+    # ---- --debug board (detector.py:585-668 semantics, headless save) -----
+
+    def show_debug(self, image, images, results, online):
+        """Build + save the debug board: 'generic' = detections, arrows and
+        track ids on the frame; 'previous' = last frame; debug >= 2 adds the
+        per-class 'pred_hm' blend (gen_colormap over the model heatmap)."""
+        from deft_tpu.utils.visualize import Debugger
+
+        if self.debugger is None:
+            self.debugger = Debugger(self.cfg, self.info)
+        dbg = self.debugger
+        dbg.clear()
+        if image is None:
+            image = np.clip(
+                (np.asarray(images)[0] * STD + MEAN) * 255.0, 0, 255
+            ).astype(np.uint8)
+        dbg.add_img(image, "generic")
+        dbg.add_img(self._pre_image_ori if self._pre_image_ori is not None
+                    else image, "previous")
+        self._pre_image_ori = image
+        for item in results:
+            if item.get("score", 0.0) < self.cfg.vis_thresh:
+                continue
+            if "bbox" in item:
+                dbg.add_coco_bbox(item["bbox"], item["class"] - 1,
+                                  item.get("score", 0.0), img_id="generic")
+            if "tracking" in item and "ct" in item:
+                ct = np.asarray(item["ct"], np.float64)
+                dbg.add_arrow(ct, ct + np.asarray(item["tracking"]),
+                              img_id="generic")
+            if "hps" in item:
+                dbg.add_coco_hp(item["hps"], img_id="generic")
+        for t in online:
+            tl = t.tlwh
+            dbg.add_tracking_id((tl[0] + tl[2] / 2, tl[1] + tl[3] / 2),
+                                t.track_id, img_id="generic")
+        if self.cfg.debug >= 2:
+            hm = np.asarray(self._debug_hm(
+                self.variables, self._jnp.asarray(images)))[0]
+            warped = np.clip(
+                (np.asarray(images)[0] * STD + MEAN) * 255.0, 0, 255
+            ).astype(np.uint8)
+            dbg.add_blend_img(warped, dbg.gen_colormap(hm), "pred_hm")
+        self._debug_cnt += 1
+        dbg.save_all_imgs(os.path.join(self.cfg.save_dir, "debug"),
+                          prefix=f"{self._debug_cnt:05d}_")
 
     # ---- nuScenes per-class branch (detector.py:200-341) ---------------------
 

@@ -53,28 +53,46 @@ class PipelinedRunner:
         self.det = detector
         self.cfg = detector.cfg
         self.depth = depth
-        self.chunk = max(1, chunk)
+        # public-det mode interleaves per-frame center uploads with the ring
+        # state; the chunked dispatch path doesn't support it
+        self.chunk = 1 if detector.cfg.public_det else max(1, chunk)
         cfg = self.cfg
 
         class_filter = 1 if cfg.dataset == "kitti_tracking" else -1  # Car
         model = detector.model
 
-        def step(variables, image, state, thresh):
+        from deft_tpu.tracking.tracker import freshness_window
+
+        self.sim_window = (freshness_window(cfg.dataset) + 2
+                           if cfg.sim_window < 0 else cfg.sim_window)
+        sim_window = self.sim_window
+
+        def step(variables, image, state, thresh, parity_tf):
             return model.apply(
                 variables, image, state, thresh, k=cfg.K,
                 class_filter=class_filter, sims_quant=cfg.sims_quant,
+                sim_window=sim_window, parity_tf=parity_tf,
                 method="frame_step",
             )
 
-        def step_chunk(variables, images, state, thresh):
+        def step_chunk(variables, images, state, thresh, parity_tf):
             return model.apply(
                 variables, images, state, thresh, k=cfg.K,
                 class_filter=class_filter, sims_quant=cfg.sims_quant,
+                sim_window=sim_window, parity_tf=parity_tf,
                 method="frame_chunk",
+            )
+
+        def step_embed(variables, image, centers, n_dets, state):
+            return model.apply(
+                variables, image, centers, n_dets, state,
+                sims_quant=cfg.sims_quant, sim_window=sim_window,
+                method="frame_step_embed",
             )
 
         self._step = jax.jit(step, donate_argnums=(2,))
         self._step_chunk = jax.jit(step_chunk, donate_argnums=(2,))
+        self._step_embed = jax.jit(step_embed, donate_argnums=(4,))
         self._fetch_pool = ThreadPoolExecutor(max_workers=max(depth, 2))
 
         dims = {"scores": 1, "clses": 1, "cts": 2, "bboxes": 4,
@@ -110,12 +128,32 @@ class PipelinedRunner:
         warped, frame_meta = self.warp(image_bgr, meta)
         return self._dispatch_warped(warped, frame_meta)
 
+    def _parity_tf(self, frame_meta: dict):
+        """[8] inverse-affine rows + original dims for --embed_parity
+        (the reference's original-dims center normalization, tracker.py:818);
+        None when the flag is off."""
+        if not self.cfg.embed_parity:
+            return None
+        from deft_tpu.ops.affine import get_affine_transform
+
+        inv = get_affine_transform(
+            frame_meta["c"], frame_meta["s"], 0,
+            [frame_meta["inp_width"], frame_meta["inp_height"]], inv=True,
+        )
+        return np.concatenate([
+            np.asarray(inv, np.float32).reshape(-1),
+            np.asarray([frame_meta["width"], frame_meta["height"]], np.float32),
+        ])
+
     def _dispatch_warped(self, warped: np.ndarray, frame_meta: dict):
+        if self.cfg.public_det and "cur_dets" in frame_meta:
+            return self._dispatch_public(warped, frame_meta)
         outs = self._step(
             self.det.variables,
             self._jnp.asarray(warped[None]),          # uint8, device-normalized
             self.state,
             self._jnp.float32(self.cfg.out_thresh),
+            self._parity_tf(frame_meta),
         )
         packed, sims, self.state = outs
         fut = self._fetch_pool.submit(self._jax.device_get, (packed, sims))
@@ -123,8 +161,38 @@ class PipelinedRunner:
 
     cap = 0  # optional cap on detections/frame (bench typical-load mode)
 
+    def _dispatch_public(self, warped: np.ndarray, frame_meta: dict):
+        """Public-detection dispatch: embeddings at the PUBLIC boxes' centers
+        (detector.py:193-198 + utils/tracker.py:776-831 semantics); no decode."""
+        from deft_tpu.inference.detector import public_det_centers
+
+        cur_dets = list(frame_meta["cur_dets"])[: self.cfg.max_object]
+        centers, n = public_det_centers(
+            cur_dets, frame_meta, self.cfg.max_object, self.cfg.embed_parity
+        )
+        sims, self.state = self._step_embed(
+            self.det.variables,
+            self._jnp.asarray(warped[None]),
+            self._jnp.asarray(centers),
+            self._jnp.int32(n),
+            self.state,
+        )
+        fut = self._fetch_pool.submit(self._jax.device_get, sims)
+        return {"future": fut, "meta": frame_meta, "public": cur_dets}
+
+    @staticmethod
+    def _desims(sims) -> np.ndarray:
+        sims = np.asarray(sims)
+        if sims.dtype == np.uint8:
+            return sims.astype(np.float32) / 255.0
+        return sims.astype(np.float32)
+
     def _finish(self, item) -> List:
         from deft_tpu.models.deft import unpack_dets
+
+        if "public" in item:
+            sims = self._desims(item["future"].result())
+            return self.det.tracker.update(item["public"], None, sims=sims)
 
         packed, sims = item["future"].result()
         meta = item["meta"]
@@ -133,16 +201,10 @@ class PipelinedRunner:
         if self.cap:
             n_valid = min(n_valid, self.cap)
         results = self.det.post_process(dets, meta)
-        if self.cfg.public_det and "cur_dets" in meta:
-            results = meta["cur_dets"]
         if self.cfg.dataset == "kitti_tracking":
             results = [d for d in results if d["class"] == 2]
         results = results[:n_valid] if len(results) > n_valid else results
-        sims = np.asarray(sims)
-        if sims.dtype == np.uint8:
-            sims = sims.astype(np.float32) / 255.0
-        else:
-            sims = sims.astype(np.float32)
+        sims = self._desims(sims)
         return self.det.tracker.update(results, None, sims=sims)
 
     def submit(self, image_bgr: np.ndarray, meta: Optional[dict] = None):
@@ -193,6 +255,7 @@ class PipelinedRunner:
         outs = self._step_chunk(
             self.det.variables, self._jnp.asarray(frames), self.state,
             self._jnp.float32(self.cfg.out_thresh),
+            self._parity_tf(metas[0]),
         )
         packed, sims, self.state = outs
         fut = self._fetch_pool.submit(self._jax.device_get, (packed, sims))
@@ -224,6 +287,9 @@ class PipelinedRunner:
             "c": c, "s": s,
             "out_height": inp_h // self.cfg.down_ratio,
             "out_width": inp_w // self.cfg.down_ratio,
+            "inp_height": inp_h, "inp_width": inp_w,
+            "height": height, "width": width,
+            "trans_input": trans_input,
             "calib": (np.array(meta["calib"], np.float32)
                       if meta and "calib" in meta
                       else self.det._default_calib(width, height)),

@@ -172,7 +172,7 @@ class DEFTNet(nn.Module):
     # ---- fused per-frame inference program ------------------------------------
 
     def detect(self, image, k: int = 100, pre_img=None, pre_hm=None,
-               flip_test: bool = False):
+               flip_test: bool = False, parity_tf=None):
         """One jitted program: forward -> sigmoid -> decode -> embed-extract.
 
         Returns (dets, embeddings):
@@ -181,6 +181,12 @@ class DEFTNet(nn.Module):
             (amodal) box centers, normalized to [-1, 1] over the INPUT
             resolution like the tracker's convert_detection (image.py:391-412;
             centers use the box center in input pixels = 4x the output grid).
+
+        ``parity_tf`` ([8] f32: inverse-affine rows a00,a01,a02,a10,a11,a12 +
+        orig_w, orig_h) switches to the reference's embedding-sampling quirk:
+        centers are mapped back to ORIGINAL image pixels and normalized by
+        the ORIGINAL dims (utils/tracker.py:818, test.py:163-164) although
+        the feature maps live in the warped input frame.
 
         ``flip_test`` runs the horizontally flipped image through the trunk
         too and averages head outputs per the reference's table
@@ -225,15 +231,123 @@ class DEFTNet(nn.Module):
             )
         out_h = image.shape[1] // 4
         out_w = image.shape[2] // 4
-        centers = jnp.stack(
-            [2.0 * cts[..., 0] / out_w - 1.0, 2.0 * cts[..., 1] / out_h - 1.0],
-            axis=-1,
-        )
+        if parity_tf is not None:
+            xi = cts[..., 0] * 4.0          # input-frame pixels
+            yi = cts[..., 1] * 4.0
+            xo = parity_tf[0] * xi + parity_tf[1] * yi + parity_tf[2]
+            yo = parity_tf[3] * xi + parity_tf[4] * yi + parity_tf[5]
+            centers = jnp.stack(
+                [2.0 * xo / parity_tf[6] - 1.0, 2.0 * yo / parity_tf[7] - 1.0],
+                axis=-1,
+            )
+        else:
+            centers = jnp.stack(
+                [2.0 * cts[..., 0] / out_w - 1.0,
+                 2.0 * cts[..., 1] / out_h - 1.0],
+                axis=-1,
+            )
         embeddings = self.extract(feature_maps, centers)
         return dets, embeddings
 
+    def embed_image(self, image, centers):
+        """Trunk forward + AFE embedding extraction at given centers.
+
+        The public-detection path (reference detector.py:193-198 +
+        utils/tracker.py:776-831): detections come from an external file and
+        embeddings must be sampled at THOSE boxes' centers, not at the
+        model's decoded centers.
+
+        image: [1, H, W, 3] (uint8 or normalized float);
+        centers: [1, N, 2] in [-1, 1].  Returns [1, N, E].
+        """
+        image = self._maybe_normalize(image)
+        _, feature_maps = self.trunk(image, None, None, False)
+        return self.extract(feature_maps, centers)
+
+    @staticmethod
+    def _maybe_normalize(image):
+        if image.dtype == jnp.uint8:
+            # accept raw warped uint8 frames: normalize on device (cheaper
+            # host->device transfer and no host normalize pass)
+            mean = jnp.asarray([0.40789654, 0.44719302, 0.47026115])
+            std = jnp.asarray([0.28863828, 0.27408164, 0.27809835])
+            image = (image.astype(jnp.float32) / 255.0 - mean) / std
+        return image
+
+    def _sim_and_record(self, emb, n_valid, state, sims_quant: bool,
+                        sim_window: int = 0):
+        """Shared tail of the fused frame programs: window similarity vs the
+        device ring buffer, then the conditional ring write
+        (tracker.py:59-90 semantics; empty frames are not buffered).
+
+        ``sim_window > 0`` evaluates (and downloads) only the F freshest
+        buffered frames, ordered freshest-first.  A frame with >= F newer
+        buffered frames has frame-distance >= F+1, so its temporal decay is
+        <= DECAY2^((F+1)/3) = 0.01^((F+1)/3) (tracker.py:76-90) -- already
+        ~0 for F >= freshness_window + 2; the host treats those rows as
+        exact zeros.  This cuts both the similarity compute (50 -> F slots)
+        and the per-frame device->host transfer ~(50/F)x.
+        """
+        m = self.max_object
+        slot_ids = jnp.arange(m)
+        emb = emb[:m] * (slot_ids < n_valid)[:, None].astype(emb.dtype)
+
+        w_slots = state["embeds"].shape[0]
+        if 0 < sim_window < w_slots:
+            # freshest-first slot order: (ptr-1, ptr-2, ...) mod W.  Before
+            # any write these wrap onto empty slots (counts 0 -> zero rows).
+            idx = (state["ptr"] - 1 - jnp.arange(sim_window)) % w_slots
+            sims = self.afe.window_similarity(
+                state["embeds"][idx], state["counts"][idx], emb, n_valid
+            )
+        else:
+            sims = self.afe.window_similarity(
+                state["embeds"], state["counts"], emb, n_valid
+            )
+
+        w = state["embeds"].shape[0]
+        do = (n_valid > 0).astype(jnp.int32)
+        slot = state["ptr"] % w
+        old_row = state["embeds"][slot]
+        new_row = jnp.where(do > 0, emb, old_row)
+        new_state = {
+            "embeds": state["embeds"].at[slot].set(new_row),
+            "counts": state["counts"].at[slot].set(
+                jnp.where(do > 0, n_valid, state["counts"][slot])
+            ),
+            "ptr": state["ptr"] + do,
+        }
+        if sims_quant:
+            # probabilities in [0, 1] -> uint8/255: halves the download again
+            # (quantization error 0.002 on similarities; thresholds are 0.9)
+            sims_out = jnp.round(jnp.clip(sims, 0, 1) * 255.0).astype(jnp.uint8)
+        else:
+            sims_out = sims.astype(jnp.float16)
+        return sims_out, new_state
+
+    def frame_step_embed(self, image, centers, n_dets, state,
+                         sims_quant: bool = False, sim_window: int = 0):
+        """Fused public-detection frame program (ONE host round trip).
+
+        Embeds the frame at externally-provided detection centers (the
+        --public_det mode: detector.py:193-198 swaps in public dets; the
+        tracker then extracts embeddings AT those detections,
+        utils/tracker.py:776-831), runs the ring-buffer similarity, and
+        writes the buffer.  No decode: public mode discards model detections.
+
+        centers: [max_object, 2] in [-1, 1], zero-padded; n_dets: int32.
+        Returns (sims, new_state).
+        """
+        image = self._maybe_normalize(image)
+        _, feature_maps = self.trunk(image, None, None, False)
+        emb = self.extract(feature_maps, centers[None])[0]     # [M, E]
+        n_valid = jnp.minimum(n_dets, self.max_object).astype(jnp.int32)
+        return self._sim_and_record(emb, n_valid, state, sims_quant,
+                                    sim_window)
+
     def frame_step(self, image, state, out_thresh, k: int = 100,
-                   class_filter: int = -1, sims_quant: bool = False):
+                   class_filter: int = -1, sims_quant: bool = False,
+                   sim_window: int = 0, parity_tf=None):
         """The fully fused per-frame tracking program (ONE host round trip).
 
         Runs detect, selects the valid detections (score >= out_thresh, and
@@ -256,13 +370,8 @@ class DEFTNet(nn.Module):
 
         Returns (dets, embeddings [K, E], sims [W, K, K+1], n_valid, state').
         """
-        if image.dtype == jnp.uint8:
-            # accept raw warped uint8 frames: normalize on device (cheaper
-            # host->device transfer and no host normalize pass)
-            mean = jnp.asarray([0.40789654, 0.44719302, 0.47026115])
-            std = jnp.asarray([0.28863828, 0.27408164, 0.27809835])
-            image = (image.astype(jnp.float32) / 255.0 - mean) / std
-        dets, emb = self.detect(image, k=k)
+        image = self._maybe_normalize(image)
+        dets, emb = self.detect(image, k=k, parity_tf=parity_tf)
         emb = emb[0]                                           # [K, E]
         scores = dets["scores"][0]
         valid = scores >= out_thresh                           # sorted prefix
@@ -275,29 +384,9 @@ class DEFTNet(nn.Module):
             emb = emb[order]
         # the ring buffer holds at most max_object embeddings (K may exceed it)
         m = self.max_object
-        emb = emb[:m]
         n_valid = jnp.minimum(jnp.sum(valid), m).astype(jnp.int32)
-        slot_ids = jnp.arange(m)
-        emb = emb * (slot_ids < n_valid)[:, None].astype(emb.dtype)
-
-        sims = self.afe.window_similarity(
-            state["embeds"], state["counts"], emb, n_valid
-        )
-
-        # conditional ring write: frames with zero detections are not
-        # buffered (tracker.py:59-73 only records non-empty frames)
-        w = state["embeds"].shape[0]
-        do = (n_valid > 0).astype(jnp.int32)
-        slot = state["ptr"] % w
-        old_row = state["embeds"][slot]
-        new_row = jnp.where(do > 0, emb, old_row)
-        new_state = {
-            "embeds": state["embeds"].at[slot].set(new_row),
-            "counts": state["counts"].at[slot].set(
-                jnp.where(do > 0, n_valid, state["counts"][slot])
-            ),
-            "ptr": state["ptr"] + do,
-        }
+        sims_out, new_state = self._sim_and_record(emb, n_valid, state,
+                                                   sims_quant, sim_window)
         # trim the host transfer: embeddings stay device-side (the ring
         # buffer is the only consumer); every per-detection output packs into
         # ONE fp32 buffer and sims into ONE fp16 buffer -- through a
@@ -308,16 +397,11 @@ class DEFTNet(nn.Module):
                 "nuscenes_att", "velocity")
         dets = {k2: v for k2, v in dets.items() if k2 in keep}
         packed = pack_dets(dets, n_valid)
-        if sims_quant:
-            # probabilities in [0, 1] -> uint8/255: halves the download again
-            # (quantization error 0.002 on similarities; thresholds are 0.9)
-            sims_out = jnp.round(jnp.clip(sims, 0, 1) * 255.0).astype(jnp.uint8)
-        else:
-            sims_out = sims.astype(jnp.float16)
         return packed, sims_out, new_state
 
     def frame_chunk(self, images, state, out_thresh, k: int = 100,
-                    class_filter: int = -1, sims_quant: bool = False):
+                    class_filter: int = -1, sims_quant: bool = False,
+                    sim_window: int = 0, parity_tf=None):
         """``frame_step`` scanned over a chunk of frames in ONE program.
 
         Ring-buffer updates happen in frame order inside the scan, so the
@@ -333,6 +417,7 @@ class DEFTNet(nn.Module):
             packed, sims, new_state = self.frame_step(
                 image[None], carry, out_thresh, k=k,
                 class_filter=class_filter, sims_quant=sims_quant,
+                sim_window=sim_window, parity_tf=parity_tf,
             )
             return new_state, (packed, sims)
 

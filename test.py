@@ -83,7 +83,9 @@ def main(argv=None):
         with open(cfg.load_results) as f:
             loaded_results = {int(k): v for k, v in json.load(f).items()}
 
-    use_pipeline = cfg.dataset != "nuscenes"
+    # --debug boards are produced by Detector.run (reference
+    # detector.py:585-668); the pipelined fused program skips them
+    use_pipeline = cfg.dataset != "nuscenes" and cfg.debug <= 0
     runner = PipelinedRunner(detector) if use_pipeline else None
 
     from deft_tpu.utils.visualize import VideoWriter, plot_tracking
