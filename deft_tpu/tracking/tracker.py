@@ -116,22 +116,34 @@ class DeviceFeatureRecorder:
         """Record a frame whose window similarity was computed elsewhere.
 
         ``sims`` must be evaluated against the buffer state BEFORE this frame
-        (the fused program guarantees this).  Applies the temporal decay
-        weighting (tracker.py:76-90) and mirrors the device ring bookkeeping
-        (slot = ptr % W, non-empty frames only).
+        (the fused program guarantees this).  Two layouts are accepted:
+
+        * ``[W, M, M+1]`` slot-indexed (the full ring);
+        * ``[F < W, M, M+1]`` freshest-first (the ``sim_window`` fast path):
+          row ``rank`` is the rank-th most recently buffered frame; buffered
+          frames beyond F rows carry temporal decay <= DECAY2^((F+1)/3) ~ 0
+          and are recorded as exact zeros.
+
+        Applies the temporal decay weighting (tracker.py:76-90) and mirrors
+        the device ring bookkeeping (slot = ptr % W, non-empty frames only).
         """
         if frame_index in self.slot_of or n == 0:
             return
         m_frame = freshness_window(self.dataset)
+        windowed = sims.shape[0] != self.window
         self.all_similarity[frame_index] = {}
-        for pre_frame in self.frames:
+        for rank, pre_frame in enumerate(reversed(self.frames)):
             df = frame_index - pre_frame
             delta = (DECAY if df < m_frame else DECAY2) ** (df / 3.0)
             s = self.slot_of[pre_frame]
             pre_n = int(self.counts[s])
-            self.all_similarity[frame_index][pre_frame] = (
-                sims[s][:pre_n, : n + 1] * delta
-            )
+            if windowed:
+                row = (sims[rank][:pre_n, : n + 1] * delta
+                       if rank < sims.shape[0]
+                       else np.zeros((pre_n, n + 1), np.float32))
+            else:
+                row = sims[s][:pre_n, : n + 1] * delta
+            self.all_similarity[frame_index][pre_frame] = row
 
         # ring write bookkeeping
         slot = self.ptr % self.window
@@ -714,6 +726,12 @@ class Tracker:
         self.tracked_stracks = [
             t for t in self.tracked_stracks if t.state == TrackState.Tracked
         ]
+        # NOTE: the reference also merges a `refind_stracks` list here
+        # (tracker.py:1047), but no call site ever appends to it -- every
+        # re_activate() leaves the track on lost_stracks for one frame, after
+        # which the next match routes it through update() -> activated.  We
+        # reproduce that behavior exactly (re-activated tracks rejoin
+        # tracked_stracks one frame later via the Tracked-state branch).
         self.tracked_stracks = joint_stracks(self.tracked_stracks, activated)
         self.lost_stracks = sub_stracks(self.lost_stracks, self.tracked_stracks)
         self.lost_stracks = sub_stracks(self.lost_stracks, self.removed_stracks)

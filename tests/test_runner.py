@@ -111,3 +111,31 @@ def test_runner_reset_clears_state(detector):
     # renumbered per video at write time); the STRUCTURE must repeat exactly
     assert canonical(first) == canonical(second)
     assert min(min(f) for f in second if f) > max(max(f) for f in first if f)
+
+
+@pytest.mark.slow
+def test_sim_window_equivalence(detector):
+    """The sim_window fast path (evaluate/download only the F freshest ring
+    slots) must reproduce the full-ring results: windowed rows are identical,
+    and rows beyond F carry decay <= 0.01^((F+1)/3) ~ 0 (tracker.py:76-90),
+    so track IDs cannot change.  16 frames > F=12 exercises the zeroed tail."""
+    from deft_tpu.inference.detector import Detector
+    from deft_tpu.inference.runner import PipelinedRunner
+
+    frames = [make_frame(t) for t in range(16)]
+
+    r_win = PipelinedRunner(detector, depth=2)      # auto F = 10 + 2
+    assert r_win.sim_window == 12
+    ids_win = ids_of(r_win.track_sequence(frames))
+
+    det_full = Detector(detector.cfg.replace(sim_window=0),
+                        model=detector.model, variables=detector.variables)
+    r_full = PipelinedRunner(det_full, depth=2)
+    assert r_full.sim_window == 0
+    ids_full = ids_of(r_full.track_sequence(frames))
+
+    def canonical(seq):
+        remap = {}
+        return [[remap.setdefault(i, len(remap)) for i in fr] for fr in seq]
+
+    assert canonical(ids_win) == canonical(ids_full)
