@@ -23,22 +23,42 @@ pytestmark = pytest.mark.skipif(
 HEADS = {"hm": 1, "reg": 2, "wh": 2, "tracking": 2, "ltrb_amodal": 4}
 
 
-@pytest.fixture(scope="module")
-def torch_ref():
+def _make_torch_ref(dla_node: str, seed: int = 0):
     sys.path.insert(0, REFERENCE)
     import torch
 
-    from model.networks.dla import DLASeg
+    import model.networks.dla as dla_mod
+
+    if dla_node == "dcn":
+        # the CUDA extension is absent (dla.py:25-29 fallback DCN=None);
+        # inject the exact-semantics pure-torch DCNv2 so the reference can
+        # run its shipped-checkpoint configuration on CPU
+        from torch_dcn_ref import DCN as PureDCN
+
+        dla_mod.DCN = PureDCN
 
     opt = SimpleNamespace(
         dataset="mot", max_object=100, head_kernel=3, prior_bias=-4.6,
-        pre_img=False, pre_hm=False, dla_node="conv", load_model="x",
+        pre_img=False, pre_hm=False, dla_node=dla_node, load_model="x",
         model_output_list=False,
     )
-    torch.manual_seed(0)
-    net = DLASeg(34, HEADS, {h: [256] for h in HEADS}, opt)
+    torch.manual_seed(seed)
+    net = dla_mod.DLASeg(34, HEADS, {h: [256] for h in HEADS}, opt)
+    if dla_node == "dcn":
+        # the DCNv2 init zeroes conv_offset_mask (plain-conv start);
+        # randomize it so the parity test exercises real deformations
+        gen = torch.Generator().manual_seed(seed + 1)
+        for name, mod in net.named_modules():
+            if name.endswith("conv_offset_mask"):
+                mod.weight.data.normal_(0, 0.01, generator=gen)
+                mod.bias.data.uniform_(-1.0, 1.0, generator=gen)
     net.eval()
     return net
+
+
+@pytest.fixture(scope="module")
+def torch_ref():
+    return _make_torch_ref("conv")
 
 
 @pytest.fixture(scope="module")
@@ -58,42 +78,112 @@ def converted(torch_ref):
     return cfg, model, variables
 
 
-def test_forward_parity(torch_ref, converted):
+def _assert_forward_parity(torch_net, converted, seed=0, atol=1e-4):
     import torch
 
     import jax.numpy as jnp
 
     cfg, model, variables = converted
-    rng = np.random.RandomState(0)
+    rng = np.random.RandomState(seed)
     x = rng.randn(1, 3, 64, 64).astype(np.float32)
 
     with torch.no_grad():
-        t_out, t_fmaps = torch_ref(torch.from_numpy(x))
+        t_out, t_fmaps = torch_net(torch.from_numpy(x))
     j_out, j_fmaps = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
                                  train=False)
 
     for i, (tf, jf) in enumerate(zip(t_fmaps, j_fmaps)):
         np.testing.assert_allclose(
             np.asarray(jf).transpose(0, 3, 1, 2), tf.numpy(),
-            rtol=1e-3, atol=1e-4,
+            rtol=1e-3, atol=atol,
             err_msg=f"feature map {i} mismatch",
         )
     for h in HEADS:
         np.testing.assert_allclose(
             np.asarray(j_out[h]).transpose(0, 3, 1, 2), t_out[0][h].numpy(),
-            rtol=1e-3, atol=1e-4, err_msg=f"head {h} mismatch",
+            rtol=1e-3, atol=atol, err_msg=f"head {h} mismatch",
         )
 
 
-def test_afe_similarity_parity(torch_ref, converted):
+def test_forward_parity(torch_ref, converted):
+    _assert_forward_parity(torch_ref, converted)
+
+
+# ---- dcn-node configuration (the published-checkpoint one, dla.py:646-665) --
+
+
+@pytest.fixture(scope="module")
+def torch_ref_dcn():
+    return _make_torch_ref("dcn", seed=7)
+
+
+@pytest.fixture(scope="module")
+def converted_dcn(torch_ref_dcn):
+    from deft_tpu.config import mot_config
+    from deft_tpu.models import create_model
+    from deft_tpu.train.torch_convert import convert_torch_checkpoint
+
+    cfg = mot_config(input_h=64, input_w=64, dla_node="dcn",
+                     align_corners=False)
+    sd = {k: v.detach().numpy() for k, v in torch_ref_dcn.state_dict().items()}
+    variables = convert_torch_checkpoint(sd, cfg)
+    model = create_model(cfg.arch, cfg)
+    return cfg, model, variables
+
+
+def test_torch_dcn_matches_jax_op():
+    """The pure-torch DCNv2 golden vs the jax gather decomposition, directly
+    on one op with random offsets (layout + bilinear + border semantics)."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from torch_dcn_ref import DCN as PureDCN
+
+    from deft_tpu.models.dcn import DCNv2
+    from deft_tpu.train.torch_convert import TorchConverter
+
+    torch.manual_seed(11)
+    tm = PureDCN(8, 6)
+    gen = torch.Generator().manual_seed(12)
+    tm.conv_offset_mask.weight.data.normal_(0, 0.05, generator=gen)
+    tm.conv_offset_mask.bias.data.uniform_(-2.0, 2.0, generator=gen)
+    tm.bias.data.uniform_(-0.5, 0.5, generator=gen)
+
+    x = np.random.RandomState(5).randn(1, 8, 13, 17).astype(np.float32)
+    with torch.no_grad():
+        t_y = tm(torch.from_numpy(x)).numpy()
+
+    conv = TorchConverter()
+    sd = {f"m.{k}": v.numpy() for k, v in tm.state_dict().items()}
+    assert conv.dcn((), sd, "m")
+    variables = {"params": conv.params}
+
+    jm = DCNv2(features=6)
+    j_y = jm.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(j_y).transpose(0, 3, 1, 2), t_y, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_forward_parity_dcn(torch_ref_dcn, converted_dcn):
+    _assert_forward_parity(torch_ref_dcn, converted_dcn, seed=2)
+
+
+def test_afe_similarity_parity_dcn(torch_ref_dcn, converted_dcn):
+    _assert_afe_parity(torch_ref_dcn, converted_dcn, seed=3)
+
+
+def _assert_afe_parity(torch_net, converted, seed=1):
     """End-to-end AFE path: embeddings at centers + dual-softmax similarity
     must match the reference forward_stacker_features."""
     import torch
 
     import jax.numpy as jnp
 
+    torch_ref = torch_net
     cfg, model, variables = converted
-    rng = np.random.RandomState(1)
+    rng = np.random.RandomState(seed)
     x1 = rng.randn(1, 3, 64, 64).astype(np.float32)
     x2 = rng.randn(1, 3, 64, 64).astype(np.float32)
     n_pre, n_next = 5, 3
@@ -135,6 +225,10 @@ def test_afe_similarity_parity(torch_ref, converted):
         np.asarray(j_sim)[:n_pre, : n_next + 1], t_sim,
         rtol=1e-3, atol=1e-4,
     )
+
+
+def test_afe_similarity_parity(torch_ref, converted):
+    _assert_afe_parity(torch_ref, converted)
 
 
 def test_lstm_parity():
