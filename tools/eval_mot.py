@@ -48,11 +48,15 @@ def evaluate_sequence(gt: Dict[int, List[Tuple[int, np.ndarray]]],
                       iou_thresh: float = 0.5) -> Dict[str, float]:
     """gt/hyp: frame -> list of (track_id, tlwh box)."""
     frames = sorted(set(gt) | set(hyp))
-    matches: Dict[int, int] = {}          # gt_id -> hyp_id from prev frame
-    n_gt = n_fp = n_fn = n_idsw = n_match = 0
+    matches: Dict[int, int] = {}          # gt_id -> last known hyp_id
+    n_gt = n_fp = n_fn = n_idsw = n_frag = n_match = 0
     sum_iou = 0.0
     gt_frames_per_track = defaultdict(int)
     covered_per_track = defaultdict(int)
+    # fragmentation bookkeeping (py-motmetrics semantics: a FRAG is counted
+    # when a gt object is re-acquired after >= 1 MISS event since its last
+    # match -- i.e. present-but-unmatched frames interrupt the track)
+    missed_since_match: Dict[int, bool] = {}
     # for ID metrics
     overlap_count = defaultdict(int)      # (gt_id, hyp_id) -> co-detected frames
     gt_total = defaultdict(int)
@@ -113,7 +117,13 @@ def evaluate_sequence(gt: Dict[int, List[Tuple[int, np.ndarray]]],
         n_fp += len(hyps) - len(frame_matches)
         for gid, hid in frame_matches.items():
             covered_per_track[gid] += 1
+            if missed_since_match.get(gid):
+                n_frag += 1
+            missed_since_match[gid] = False
             matches[gid] = hid
+        for gid in gt_ids:
+            if gid not in frame_matches and gid in matches:
+                missed_since_match[gid] = True
 
     # ---- identity metrics (global assignment) ------------------------------
     gt_ids_all = sorted(gt_total)
@@ -143,16 +153,19 @@ def evaluate_sequence(gt: Dict[int, List[Tuple[int, np.ndarray]]],
     idf1 = (2 * idtp / (2 * idtp + idfp + idfn)
             if (2 * idtp + idfp + idfn) else 0.0)
 
+    # py-motmetrics boundaries: MT at ratio >= 0.8, ML STRICTLY < 0.2
+    # (a track covered exactly 20% is partially tracked, not mostly lost)
     mt = sum(1 for gid, tot in gt_frames_per_track.items()
              if covered_per_track.get(gid, 0) / tot >= 0.8)
     ml = sum(1 for gid, tot in gt_frames_per_track.items()
-             if covered_per_track.get(gid, 0) / tot <= 0.2)
+             if covered_per_track.get(gid, 0) / tot < 0.2)
 
     mota = 1.0 - (n_fn + n_fp + n_idsw) / max(n_gt, 1)
     motp = sum_iou / max(n_match, 1)
     return {
         "mota": mota, "motp": motp, "idf1": idf1,
-        "num_switches": n_idsw, "num_false_positives": n_fp,
+        "num_switches": n_idsw, "num_fragmentations": n_frag,
+        "num_false_positives": n_fp,
         "num_misses": n_fn, "num_objects": n_gt, "num_matches": n_match,
         "mostly_tracked": mt, "mostly_lost": ml,
         "num_gt_tracks": len(gt_frames_per_track),
@@ -183,7 +196,8 @@ def load_mot_file(path: str, is_gt: bool = False,
 
 def combine(metrics_list: List[Dict[str, float]]) -> Dict[str, float]:
     agg = {k: sum(m[k] for m in metrics_list)
-           for k in ("num_switches", "num_false_positives", "num_misses",
+           for k in ("num_switches", "num_fragmentations",
+                     "num_false_positives", "num_misses",
                      "num_objects", "num_matches", "mostly_tracked",
                      "mostly_lost", "num_gt_tracks", "idtp", "idfp", "idfn")}
     agg["mota"] = 1.0 - (
