@@ -126,14 +126,16 @@ class DCNv2(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
 
-        if self.impl in ("shift", "pallas"):
+        if self.impl in ("shift", "pallas", "onehot"):
             from deft_tpu.ops.pallas_dcn import (
+                deform_conv_onehot,
                 deform_conv_pallas_tap,
                 deform_conv_shift_xla,
             )
 
-            fn = (deform_conv_shift_xla if self.impl == "shift"
-                  else deform_conv_pallas_tap)
+            fn = {"shift": deform_conv_shift_xla,
+                  "pallas": deform_conv_pallas_tap,
+                  "onehot": deform_conv_onehot}[self.impl]
             w = (weight.astype(self.dtype) if self.dtype is not None
                  else weight)
             out = jax.vmap(

@@ -99,6 +99,7 @@ class DEFTNet(nn.Module):
     head_convs: Dict[str, Tuple[int, ...]]
     dataset: str = "mot"
     dla_node: str = "dcn"
+    dcn_offset_range: int = 8
     max_object: int = 100
     prior_bias: float = -4.6
     head_kernel: int = 3
@@ -111,6 +112,7 @@ class DEFTNet(nn.Module):
     def setup(self):
         self.trunk = DLASeg(
             node_type=self.dla_node,
+            offset_range=self.dcn_offset_range,
             with_pre_img=self.with_pre_img,
             with_pre_hm=self.with_pre_hm,
             dtype=self.dtype,

@@ -213,11 +213,13 @@ class ConvNode(nn.Module):
         return ConvBNReLU(self.features, 1, dtype=self.dtype, name="conv")(x, train)
 
 
-def _make_node(node_type: str, features: int, name: str, dtype=None):
+def _make_node(node_type: str, features: int, name: str, dtype=None,
+               offset_range: int = 8):
     if node_type.startswith("dcn"):
         impl = {"dcn": "gather", "dcn_shift": "shift",
-                "dcn_pallas": "pallas"}[node_type]
-        return DeformNode(features, dtype=dtype, dcn_impl=impl, name=name)
+                "dcn_pallas": "pallas", "dcn_onehot": "onehot"}[node_type]
+        return DeformNode(features, dtype=dtype, dcn_impl=impl,
+                          dcn_offset_range=offset_range, name=name)
     if node_type == "conv":
         return ConvNode(features, dtype=dtype, name=name)
     if node_type == "gcn":
@@ -242,14 +244,17 @@ class IDAUp(nn.Module):
     up_factors: Sequence[int]   # per input level (index 0 unused)
     node_type: str = "dcn"
     dtype: Optional[str] = None
+    offset_range: int = 8
 
     @nn.compact
     def __call__(self, layers: List[jnp.ndarray], startp: int, endp: int,
                  train: bool = False):
         for i in range(startp + 1, endp):
             j = i - startp
-            proj = _make_node(self.node_type, self.features, f"proj_{j}", self.dtype)
-            node = _make_node(self.node_type, self.features, f"node_{j}", self.dtype)
+            proj = _make_node(self.node_type, self.features, f"proj_{j}",
+                              self.dtype, self.offset_range)
+            node = _make_node(self.node_type, self.features, f"node_{j}",
+                              self.dtype, self.offset_range)
             f = int(self.up_factors[j])
             x = proj(layers[i], train)
             if f > 1:
@@ -265,6 +270,7 @@ class DLAUp(nn.Module):
     channels: Sequence[int]
     node_type: str = "dcn"
     dtype: Optional[str] = None
+    offset_range: int = 8
 
     @nn.compact
     def __call__(self, layers: List[jnp.ndarray], train: bool = False):
@@ -284,6 +290,7 @@ class DLAUp(nn.Module):
                 [s // scales[j] for s in scales[j:]],
                 node_type=self.node_type,
                 dtype=self.dtype,
+                offset_range=self.offset_range,
                 name=f"ida_{i}",
             )
             ida(layers, len(layers) - i - 2, len(layers), train)
@@ -305,6 +312,7 @@ class DLASeg(nn.Module):
     node_type: str = "dcn"
     down_ratio: int = 4
     last_level: int = 5
+    offset_range: int = 8
     with_pre_img: bool = False
     with_pre_hm: bool = False
     channels: Sequence[int] = DLA34_CHANNELS
@@ -325,7 +333,7 @@ class DLASeg(nn.Module):
 
         dla_up_out = DLAUp(
             first_level, self.channels[first_level:], self.node_type,
-            dtype=self.dtype, name="dla_up"
+            dtype=self.dtype, offset_range=self.offset_range, name="dla_up"
         )(base_outs[first_level:], train)
         feature_maps += list(dla_up_out)
 
@@ -335,6 +343,7 @@ class DLASeg(nn.Module):
             [2 ** i for i in range(self.last_level - first_level)],
             self.node_type,
             dtype=self.dtype,
+            offset_range=self.offset_range,
             name="ida_up",
         )(y, 0, len(y), train)
         feature_maps += list(y)

@@ -37,6 +37,7 @@ def create_model(arch: str, cfg: Config) -> DEFTNet:
             head_convs={h: tuple(c) for h, c in cfg.head_convs.items()},
             dataset=cfg.dataset,
             dla_node=node,
+            dcn_offset_range=cfg.dcn_offset_range,
             max_object=cfg.max_object,
             prior_bias=cfg.prior_bias,
             head_kernel=cfg.head_kernel,
@@ -61,9 +62,11 @@ def create_model(arch: str, cfg: Config) -> DEFTNet:
         )
         return build_generic(cfg2)
     if name == "dlav0":
-        # legacy DLA: the aggregation trunk with plain-conv IDA nodes
-        # (networks/dlav0.py is the pre-DCN DLASeg)
-        return create_model("dla_34", cfg.replace(dla_node="conv"))
+        # the true legacy DLASegv0 (networks/dlav0.py:669-692): dla34
+        # backbone + the pre-DCN concat-node DLAUp, ONE stride-4 feature map,
+        # detection heads only (like the reference, dlav0 has no AFE member)
+        from deft_tpu.models.generic import build_generic
+        return build_generic(cfg.replace(backbone="dla34", neck="dlaupv0"))
     raise ValueError(f"unknown arch {arch}; supported: {_SUPPORTED}")
 
 
@@ -77,9 +80,11 @@ def init_model(model: DEFTNet, cfg: Config, rng: Optional[jax.Array] = None,
 
     def init_fn(m):
         outs, fmaps = m(image, train=False)
-        # touch the AFE so its params exist
-        e = m.extract(fmaps, centers)
-        m.afe.affinity(e, e, train=False)
+        # touch the AFE so its params exist (generic/dlav0 archs carry
+        # detection heads only, like the reference -- no AFE member)
+        if hasattr(m, "extract"):
+            e = m.extract(fmaps, centers)
+            m.afe.affinity(e, e, train=False)
         return outs
 
     variables = jax.jit(lambda r: model.init(r, method=init_fn))(rng)

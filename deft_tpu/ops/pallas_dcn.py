@@ -94,6 +94,61 @@ def deform_conv_shift_xla(x, offsets, mask, weight, bias, radius: int = 4,
     return out.reshape(h, w, -1).astype(x.dtype)
 
 
+def deform_conv_onehot(x, offsets, mask, weight, bias, radius: int = 4,
+                       kernel: int = 3):
+    """Bilinear gather as a batched one-hot MATMUL (round-2 kernel).
+
+    The per-pixel horizontal gather Σ_xs hat(xs - pos) * xp[·, xs, :] is a
+    batched [W, WS] x [WS, C] matmul whose left operand is the bilinear hat
+    evaluated on an iota -- dense MXU work instead of the vector gathers
+    that defeat the TPU (models/dcn.py ~12.8 ms on the 136x240x64 layer).
+    The vertical axis needs no gather at all: the 2r+3 integer row shifts
+    are plain dim-0 slices (address offsets), each weighted by its hat
+    coefficient and accumulated.
+
+    Exact (vs the gather oracle) for offsets within +-radius; offsets clamp
+    outside, like deform_conv_shift_xla.  x: [H, W, C] (bf16 or f32);
+    offsets [H, W, KK, 2] (dy, dx) f32; mask [H, W, KK]; weight [KK*C, Cout].
+    """
+    h, w, c = x.shape
+    kk = kernel * kernel
+    r = radius
+    pad = r + 2
+    xp = _pad_input(x, pad)                                 # [HS, WS, C]
+    ws = w + 2 * pad
+    cdt = x.dtype
+
+    dy = jnp.clip(offsets[..., 0], -r, r)                   # [H, W, KK]
+    dx = jnp.clip(offsets[..., 1], -r, r)
+    xs = jnp.arange(ws, dtype=jnp.float32)
+    xo = jnp.arange(w, dtype=jnp.float32)
+
+    outs = []
+    for k in range(kk):
+        ky = k // kernel - kernel // 2
+        kx = k % kernel - kernel // 2
+        # one-hot hat row per output pixel: positions in padded columns
+        pos = xo[None, :] + (pad + kx) + dx[:, :, k]        # [H, W]
+        sx = jnp.maximum(
+            0.0, 1.0 - jnp.abs(xs[None, None, :] - pos[..., None])
+        ).astype(cdt)                                       # [H, W, WS]
+
+        acc = jnp.zeros((h, w, c), jnp.float32)
+        for su in range(ky - r - 1, ky + r + 2):
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy[:, :, k] - (su - ky)))
+            slab = jax.lax.dynamic_slice(
+                xp, (pad + su, 0, 0), (h, ws, c)
+            )                                               # [H, WS, C]
+            g = jnp.einsum("yws,ysc->ywc", sx, slab,
+                           preferred_element_type=jnp.float32)
+            acc = acc + g * wy[..., None]
+        outs.append(acc * mask[:, :, k: k + 1])
+
+    patches = jnp.concatenate([o.reshape(h * w, c) for o in outs], axis=1)
+    out = patches.astype(weight.dtype) @ weight + bias
+    return out.reshape(h, w, -1).astype(x.dtype)
+
+
 def _dcn_kernel(xp_hbm, off_ref, mask_ref, w_ref, b_ref, out_ref,
                 slab_ref, sem, *, radius: int, kernel: int, tile_h: int,
                 width: int, channels: int, cout: int, col_pad: int = None):
