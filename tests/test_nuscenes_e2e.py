@@ -1,0 +1,227 @@
+"""nuScenes end-to-end on a scripted synthetic scene.
+
+Covers the chain the real dataset would exercise (reference behavior:
+``/root/reference/src/lib/detector.py:200-341``,
+``datasets/nuscenes.py:176-294``): raw v1.0 schema tables -> devkit-free
+converter -> GenericDataset 3-D targets -> ``Detector.run`` ->
+``_update_nuscenes`` per-class trackers -> submission json schema.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from deft_tpu.config import nuscenes_config
+
+N_SAMPLES = 8
+
+
+@pytest.fixture(scope="module")
+def nus_root(tmp_path_factory):
+    from make_synthetic_nuscenes import generate
+
+    root = str(tmp_path_factory.mktemp("nus") / "nuscenes")
+    generate(root, n_samples=N_SAMPLES, width=800, height=450)
+
+    from convert_nuscenes import convert
+
+    convert(root, "v1.0-trainval", "val.json")
+    return root
+
+
+@pytest.fixture(scope="module")
+def nus_cfg():
+    return nuscenes_config(input_h=96, input_w=160, dla_node="conv",
+                           compute_dtype="float32", dataset_version="")
+
+
+@pytest.fixture(scope="module")
+def nus_dataset(nus_root, nus_cfg):
+    from deft_tpu.data.datasets.nuscenes import NuScenesDataset
+
+    return NuScenesDataset(nus_cfg, "val", data_dir=nus_root)
+
+
+@pytest.fixture(scope="module")
+def nus_detector(nus_cfg):
+    from deft_tpu.inference.detector import Detector
+
+    return Detector(nus_cfg)
+
+
+def test_converter_output(nus_root):
+    with open(os.path.join(nus_root, "annotations", "val.json")) as f:
+        d = json.load(f)
+    assert len(d["images"]) == 2 * N_SAMPLES          # 2 cameras
+    assert len(d["videos"]) == 1
+    # 3 objects visible to CAM_FRONT, 1 to CAM_BACK, every sample
+    front = [i["id"] for i in d["images"] if i["sensor_id"] == 1]
+    per_img = {}
+    for a in d["annotations"]:
+        per_img[a["image_id"]] = per_img.get(a["image_id"], 0) + 1
+    assert all(per_img.get(i, 0) == 3 for i in front)
+    for im in d["images"]:
+        for key in ("calib", "trans_matrix", "cs_record_rot",
+                    "cs_record_trans", "pose_record_rot",
+                    "pose_record_trans", "sample_token", "sensor_id"):
+            assert key in im, key
+    a = d["annotations"][0]
+    for key in ("location", "dim", "rotation_y", "depth", "amodel_center",
+                "track_id", "attributes", "velocity"):
+        assert key in a, key
+    # scripted car_a: 14.0 ahead, front camera at ego x=1.5 -> depth 12.5
+    assert abs(a["depth"] - 12.5) < 1e-6
+
+
+def test_dataset_targets(nus_dataset):
+    item = nus_dataset[0]
+    for key in ("image", "hm", "wh", "reg", "dep", "dim", "rotbin", "rotres",
+                "amodel_offset", "nuscenes_att", "velocity", "ind", "mask"):
+        assert key in item, key
+    assert item["hm"].max() == 1.0                    # objects rendered
+    n = int(item["mask"].sum())
+    assert n >= 1
+    deps = item["dep"][item["mask"] > 0]
+    assert (deps > 0.5).all()
+
+
+def _tracks_to_results(online):
+    out = []
+    for t in online:
+        sub = np.asarray(t.ddd_submission, np.float64)
+        out.append({
+            "translation": sub[0:3].tolist(),
+            "size": sub[3:6].tolist(),
+            "rotation": sub[6:10].tolist(),
+            "detection_name": t.classe,
+            "attribute_name": "",
+            "velocity": [0, 0],
+            "score": float(t.score),
+            "tracking_id": int(t.track_id),
+        })
+    return out
+
+
+@pytest.mark.slow
+def test_scripted_dets_stable_ids_and_submission(nus_root, nus_dataset,
+                                                 nus_detector):
+    """GT-derived detections through ``_update_nuscenes`` (per-class NMS,
+    3-D IoU pre-step, ddd motion fusion, submission fields): car track IDs
+    must stay stable across the scene; the submission must be schema-valid."""
+    det = nus_detector
+    det.reset_tracking()
+    with open(os.path.join(nus_root, "annotations", "val.json")) as f:
+        d = json.load(f)
+    anns_of = {}
+    for a in d["annotations"]:
+        anns_of.setdefault(a["image_id"], []).append(a)
+    front = sorted((i for i in d["images"] if i["sensor_id"] == 1),
+                   key=lambda i: i["frame_id"])
+
+    results_all = {}
+    car_ids_per_frame = []
+    for info in front:
+        results = []
+        embs = []
+        for a in anns_of.get(info["id"], []):
+            x, y, w_, h_ = a["bbox"]
+            results.append({
+                "class": a["category_id"], "score": 0.9,
+                "bbox": np.array([x, y, x + w_, y + h_], np.float32),
+                "dim": a["dim"], "loc": a["location"],
+                "rot_y": a["rotation_y"],
+            })
+            e = np.zeros(det.embed_dim, np.float32)
+            e[a["track_id"] % det.embed_dim] = 3.0
+            embs.append(e)
+        online = det._update_nuscenes(
+            results, np.stack(embs), info
+        )
+        snap = _tracks_to_results(online)
+        results_all[info["id"]] = snap
+        car_ids_per_frame.append(sorted(
+            t["tracking_id"] for t in snap if t["detection_name"] == "car"
+        ))
+
+    # two cars visible to CAM_FRONT every frame, stable IDs after birth
+    assert all(len(ids) == 2 for ids in car_ids_per_frame), car_ids_per_frame
+    assert all(ids == car_ids_per_frame[0] for ids in car_ids_per_frame[1:]), \
+        car_ids_per_frame
+
+    # submission schema via the dataset converter
+    sub = nus_dataset.convert_eval_format(results_all)
+    assert sub["meta"]["use_camera"] is True
+    assert len(sub["results"]) == N_SAMPLES           # keyed by sample_token
+    for sample_token, items in sub["results"].items():
+        assert sample_token.startswith("samp_")
+        assert len(items) <= 500
+        for it in items:
+            for key in ("sample_token", "translation", "size", "rotation",
+                        "velocity", "detection_name", "attribute_name",
+                        "detection_score", "tracking_name", "tracking_score",
+                        "tracking_id"):
+                assert key in it, key
+            assert len(it["translation"]) == 3
+            assert len(it["rotation"]) == 4
+            assert len(it["velocity"]) == 2
+    # car_a's global translation advances with its scripted velocity:
+    # it starts at x=14.0 and ends at 14 + 1.2*0.5*7 = 18.2 (car_b crosses
+    # it coming the other way, so identify by scripted position, not order)
+    cars = [[it for it in sub["results"][f"samp_{t}"]
+             if it["detection_name"] == "car"] for t in range(N_SAMPLES)]
+    assert abs(min(c["translation"][0] for c in cars[0]) - 14.0) < 0.7
+    assert abs(max(c["translation"][0] for c in cars[-1]) - 18.2) < 0.7
+
+
+@pytest.mark.slow
+def test_model_path_end_to_end(nus_root, nus_cfg, nus_dataset, nus_detector):
+    """The full Detector.run path (forward -> decode -> post-process 3-D ->
+    global transform -> per-class NMS -> trackers) on the rendered images,
+    with the heatmap bias rigged positive so an untrained net clears the
+    score floors (detector.py:224-226)."""
+    import copy
+
+    import cv2
+    import jax.numpy as jnp
+
+    from deft_tpu.inference.detector import Detector
+
+    variables = copy.deepcopy(
+        {"params": nus_detector.variables["params"],
+         "batch_stats": nus_detector.variables["batch_stats"]}
+    )
+    bias = variables["params"]["head_hm"]["out"]["bias"]
+    variables["params"]["head_hm"]["out"]["bias"] = (
+        jnp.zeros_like(bias) + 1.5
+    )
+    det = Detector(nus_cfg, model=nus_detector.model, variables=variables)
+    det.reset_tracking()
+
+    with open(os.path.join(nus_root, "annotations", "val.json")) as f:
+        d = json.load(f)
+    front = sorted((i for i in d["images"] if i["sensor_id"] == 1),
+                   key=lambda i: i["frame_id"])[:3]
+
+    results_all = {}
+    for info in front:
+        img = cv2.imread(os.path.join(nus_root, "v1.0-trainval",
+                                      info["file_name"]))
+        assert img is not None
+        online = det.run(img, {"calib": info["calib"]}, image_info=info)
+        results_all[info["id"]] = _tracks_to_results(online)
+
+    # rigged bias -> detections exist and flow through to tracks
+    assert any(len(v) > 0 for v in results_all.values())
+    sub = nus_dataset.convert_eval_format(results_all)
+    assert len(sub["results"]) >= 1
+    for items in sub["results"].values():
+        for it in items:
+            assert it["detection_name"] in (
+                "car", "truck", "bus", "trailer", "pedestrian",
+                "motorcycle", "bicycle",
+            )
