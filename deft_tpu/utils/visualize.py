@@ -158,36 +158,150 @@ class VideoWriter:
             self._writer = None
 
 
-class Debugger:
-    """Named-image board with save-all (debugger.py:21-899 core surface)."""
+def _class_palette(n: int) -> np.ndarray:
+    """Deterministic per-class BGR palette (PASCAL-VOC bit-reversal map)."""
+    out = np.zeros((n, 3), np.uint8)
+    for i in range(n):
+        c = i + 1
+        r = g = b = 0
+        for j in range(8):
+            r |= ((c >> 0) & 1) << (7 - j)
+            g |= ((c >> 1) & 1) << (7 - j)
+            b |= ((c >> 2) & 1) << (7 - j)
+            c >>= 3
+        out[i] = (b, g, r)
+    return out
 
-    def __init__(self, cfg=None, dataset=None, theme: str = "white"):
+
+class Debugger:
+    """Named-image debug board (debugger.py:21-899 surface: themes,
+    per-class heatmap colormaps, boxes, pose skeletons, track ids, arrows,
+    blend/save)."""
+
+    # COCO-17 skeleton (debugger.py:40-85): edges + left/right edge colors +
+    # per-joint colors
+    num_joints = 17
+    edges = [
+        [0, 1], [0, 2], [1, 3], [2, 4], [3, 5], [4, 6], [5, 6], [5, 7],
+        [7, 9], [6, 8], [8, 10], [5, 11], [6, 12], [11, 12], [11, 13],
+        [13, 15], [12, 14], [14, 16],
+    ]
+    ec = [
+        (255, 0, 0), (0, 0, 255), (255, 0, 0), (0, 0, 255), (255, 0, 0),
+        (0, 0, 255), (255, 0, 255), (255, 0, 0), (255, 0, 0), (0, 0, 255),
+        (0, 0, 255), (255, 0, 0), (0, 0, 255), (255, 0, 255), (255, 0, 0),
+        (255, 0, 0), (0, 0, 255), (0, 0, 255),
+    ]
+    colors_hp = [(128, 0, 128)] + [(128, 0, 0), (0, 0, 128)] * 8
+
+    def __init__(self, cfg=None, dataset=None, theme: Optional[str] = None):
         self.imgs: Dict[str, np.ndarray] = {}
-        self.theme = theme
+        self.cfg = cfg
+        self.theme = theme or getattr(cfg, "debugger_theme", "white")
         self.class_names = list(getattr(dataset, "class_name", []) or [])
+        self.down_ratio = getattr(cfg, "down_ratio", 4)
+        n = max(len(self.class_names), 80)
+        self._palette = _class_palette(n)
+        self.track_color: Dict[int, tuple] = {}
 
     def clear(self):
         self.imgs = {}
+
+    def _class_color(self, cat: int):
+        c = self._palette[int(cat) % len(self._palette)].astype(np.float32)
+        if self.theme == "white":
+            # dark-on-light: invert and cap brightness (debugger.py:35-37)
+            c = np.clip(255.0 - c, 0.0, 0.6 * 255.0)
+        return tuple(int(v) for v in c)
 
     def add_img(self, img, img_id="default"):
         self.imgs[img_id] = np.ascontiguousarray(img.copy())
 
     def add_blend_img(self, back, fore, img_id="blend", trans=0.7):
-        self.imgs[img_id] = blend_heatmap(
-            np.ascontiguousarray(back), fore, alpha=1 - trans
+        """Blend a colored foreground (e.g. gen_colormap output) over an
+        image; single-channel float foregrounds get the legacy JET blend."""
+        import cv2
+
+        back = np.ascontiguousarray(back)
+        if fore.ndim == 3 and fore.dtype == np.uint8:
+            if fore.shape[:2] != back.shape[:2]:
+                fore = cv2.resize(fore, (back.shape[1], back.shape[0]))
+            out = back.astype(np.float32) * (1.0 - trans) + \
+                fore.astype(np.float32) * trans
+            self.imgs[img_id] = np.clip(out, 0, 255).astype(np.uint8)
+        else:
+            self.imgs[img_id] = blend_heatmap(back, fore, alpha=trans)
+
+    # ---- per-class heatmap colormaps (debugger.py:133-171; NHWC here) -----
+
+    def _gen_colormap(self, hm: np.ndarray, colors: np.ndarray, output_res):
+        import cv2
+
+        hm = hm.copy().astype(np.float32)
+        hm[hm == 1] = 0.5                   # ignore regions (debugger.py:136)
+        h, w, c = hm.shape
+        if output_res is None:
+            output_res = (h * self.down_ratio, w * self.down_ratio)
+        colors = colors.reshape(-1, 3)[:c].reshape(1, 1, c, 3).astype(
+            np.float32
         )
+        cm = (hm[..., None] * colors).max(axis=2).astype(np.uint8)
+        return cv2.resize(cm, (output_res[1], output_res[0]))
+
+    def gen_colormap(self, hm: np.ndarray, output_res=None) -> np.ndarray:
+        """[h, w, C] class heatmap -> colored uint8 map, one color per
+        class (debugger.py:133-152)."""
+        colors = np.array([self._class_color(i) for i in range(hm.shape[-1])],
+                          np.float32)
+        return self._gen_colormap(hm, colors, output_res)
+
+    def gen_colormap_hp(self, hm: np.ndarray, output_res=None) -> np.ndarray:
+        """[h, w, J] keypoint heatmap -> per-joint colored map
+        (debugger.py:154-171)."""
+        colors = np.array(self.colors_hp, np.float32)
+        if self.theme == "white":
+            colors = 255.0 - colors
+        return self._gen_colormap(hm, colors, output_res)
+
+    # ---- overlays ----------------------------------------------------------
 
     def add_coco_bbox(self, bbox, cat, conf=1.0, img_id="default"):
         import cv2
 
         b = np.asarray(bbox, int)
-        color = get_color(int(cat) + 1)
+        color = self._class_color(int(cat))
         cv2.rectangle(self.imgs[img_id], (b[0], b[1]), (b[2], b[3]), color, 2)
         name = (self.class_names[int(cat)] if int(cat) < len(self.class_names)
                 else str(int(cat)))
         cv2.putText(self.imgs[img_id], f"{name} {conf:.2f}",
                     (b[0], max(b[1] - 4, 10)), cv2.FONT_HERSHEY_SIMPLEX, 0.4,
                     color, 1, cv2.LINE_AA)
+
+    def add_tracking_id(self, ct, tracking_id, img_id="default"):
+        """Track-id label at the object center (debugger.py:264-277)."""
+        import cv2
+
+        cv2.putText(self.imgs[img_id], f"{int(tracking_id)}",
+                    (int(ct[0]), int(ct[1])), cv2.FONT_HERSHEY_SIMPLEX, 0.5,
+                    (255, 0, 255), 1, cv2.LINE_AA)
+
+    def add_coco_hp(self, points, tracking_id=0, img_id="default"):
+        """COCO-17 pose skeleton overlay (debugger.py:278-310): per-joint
+        dots + left/right colored limb edges, clipped to the image."""
+        import cv2
+
+        pts = np.asarray(points, np.int32).reshape(self.num_joints, 2)
+        img = self.imgs[img_id]
+        h, w = img.shape[:2]
+        for j in range(self.num_joints):
+            if 0 <= pts[j, 0] < w and 0 <= pts[j, 1] < h:
+                cv2.circle(img, (pts[j, 0], pts[j, 1]), 3,
+                           self.colors_hp[j], -1)
+        for j, e in enumerate(self.edges):
+            if (pts[e].min() > 0 and pts[e, 0].max() < w
+                    and pts[e, 1].max() < h):
+                cv2.line(img, tuple(pts[e[0]]), tuple(pts[e[1]]),
+                         self.ec[j], 2, lineType=cv2.LINE_AA)
 
     def add_arrow(self, start, end, img_id="default"):
         import cv2
