@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from deft_tpu.models.backbones import MobileNetV2, ResNet
 from deft_tpu.models.deft import HeadTower, clamped_sigmoid
 from deft_tpu.models.dla import DLA, DLA34_CHANNELS
-from deft_tpu.models.necks import GenericDLAUp, MSRAUp
+from deft_tpu.models.necks import DLAUpV0, GenericDLAUp, MSRAUp
 from deft_tpu.ops import decode as decode_ops
 
 
@@ -59,6 +59,12 @@ class GenericNet(nn.Module):
             self.nk = GenericDLAUp(tuple(channels), dtype=self.dtype,
                                    name="neck")
             last_channel = self.nk.out_channel
+        elif self.neck == "dlaupv0":
+            # the true legacy DLASegv0 neck (networks/dlav0.py:561-692):
+            # 1x1 projs + concat nodes, single stride-4 output map
+            self.nk = DLAUpV0(tuple(channels[-4:]), dtype=self.dtype,
+                              name="neck")
+            last_channel = channels[-4]
         elif self.neck in ("msraup", "msraup_plain"):
             self.nk = MSRAUp(self.msra_outchannel, dtype=self.dtype,
                              name="neck")

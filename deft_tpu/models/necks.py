@@ -46,6 +46,73 @@ class GenericDLAUp(nn.Module):
         return y[-1], list(dla_up_out) + list(y)
 
 
+class IDAUpV0(nn.Module):
+    """Legacy IDAUp (``networks/dlav0.py:561-631``): per-level 1x1
+    conv-BN-ReLU proj (identity when channels match), bilinear-init
+    depthwise up by the CUMULATIVE factor, then sequential CONCAT nodes
+    (3x3 conv on 2*out_dim) -- vs the modern add-based DCN nodes."""
+
+    out_dim: int
+    channels: Sequence[int]
+    up_factors: Sequence[int]
+    node_kernel: int = 3
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, layers: List[jnp.ndarray], train: bool = False):
+        from deft_tpu.models.layers import ConvBNReLU, DepthwiseConvTranspose
+
+        assert len(layers) == len(self.channels)
+        ups = []
+        for i, (c, f) in enumerate(zip(self.channels, self.up_factors)):
+            x = layers[i]
+            if c != self.out_dim:
+                x = ConvBNReLU(self.out_dim, kernel=1, dtype=self.dtype,
+                               name=f"proj_{i}")(x, train)
+            if int(f) != 1:
+                x = DepthwiseConvTranspose(int(f), name=f"up_{i}")(x)
+            ups.append(x)
+        x = ups[0]
+        y = []
+        for i in range(1, len(ups)):
+            cat = jnp.concatenate([x, ups[i]], axis=-1)
+            x = ConvBNReLU(self.out_dim, kernel=self.node_kernel,
+                           dtype=self.dtype, name=f"node_{i}")(cat, train)
+            y.append(x)
+        return x, y
+
+
+class DLAUpV0(nn.Module):
+    """Legacy DLAUp (``networks/dlav0.py:633-656``): the iterative deep
+    aggregation over levels 2..5 built from IDAUpV0 stages; produces ONE
+    stride-4 map of channels[0] (64 for dla34) -- the pre-DCN DLASeg neck.
+    """
+
+    channels: Sequence[int]        # e.g. (64, 128, 256, 512)
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, feats: List[jnp.ndarray], train: bool = False):
+        chans = list(self.channels)
+        layers = list(feats[-len(chans):])
+        scales = [2 ** i for i in range(len(chans))]
+        in_channels = list(chans)
+        taps = []
+        x = layers[-1]
+        for i in range(len(chans) - 1):
+            j = -i - 2
+            x, y = IDAUpV0(
+                chans[j], tuple(in_channels[j:]),
+                tuple(s // scales[j] for s in scales[j:]),
+                dtype=self.dtype, name=f"ida_{i}",
+            )(layers[j:], train)
+            layers[j + 1:] = y
+            scales[j + 1:] = [scales[j] for _ in scales[j + 1:]]
+            in_channels[j + 1:] = [chans[j] for _ in chans[j + 1:]]
+            taps.append(x)
+        return x, taps
+
+
 class FullConvTranspose(nn.Module):
     """Dense (non-depthwise) transposed conv, stride 2, kernel 4, pad 1."""
 
