@@ -53,6 +53,9 @@ def main():
     ap.add_argument("--max-dets", type=int, default=0,
                     help="cap detections/frame fed to the cascade (0 = all "
                          "K=100; 32 emulates typical trained-detector load)")
+    ap.add_argument("--profile", type=str, default="",
+                    help="directory for a jax.profiler trace of the measured "
+                         "run (open with tensorboard/xprof)")
     args = ap.parse_args()
 
     if args.smoke:
@@ -60,6 +63,9 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
+    from deft_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     from deft_tpu.config import mot_config
     from deft_tpu.inference.detector import Detector
     from deft_tpu.inference.runner import PipelinedRunner
@@ -88,8 +94,17 @@ def main():
     runner.reset()
 
     seq = [make_synthetic_frame(t, fh, fw) for t in range(frames)]
+    import contextlib
+
+    if args.profile:
+        import jax as _jax
+
+        prof_ctx = _jax.profiler.trace(args.profile)
+    else:
+        prof_ctx = contextlib.nullcontext()
     t0 = time.time()
-    results = runner.track_sequence(seq)
+    with prof_ctx:
+        results = runner.track_sequence(seq)
     elapsed = time.time() - t0
 
     fps = frames / elapsed
@@ -107,19 +122,19 @@ def main():
     img = jax.device_put(jnp.asarray(warped[None]))
     thresh = jnp.float32(cfg.out_thresh)
     n_dev = 5 if args.smoke else 40
-    outs = runner._step(det.variables, img, runner.state, thresh)
+    outs = runner._step(det.variables, img, runner.state, thresh, None)
     jax.block_until_ready(outs)
     state = outs[2]
     td = time.time()
     for _ in range(n_dev):
-        packed, sims, state = runner._step(det.variables, img, state, thresh)
+        packed, sims, state = runner._step(det.variables, img, state, thresh, None)
     jax.block_until_ready((packed, sims, state))
     device_ms = (time.time() - td) / n_dev * 1000.0
 
     # MFU: XLA's own flop count for the step / measured time / chip peak
     mfu = None
     try:
-        lowered = runner._step.lower(det.variables, img, state, thresh)
+        lowered = runner._step.lower(det.variables, img, state, thresh, None)
         cost = lowered.compile().cost_analysis()
         flops = float((cost or {}).get("flops", 0.0))
         plat = jax.devices()[0].platform

@@ -79,6 +79,7 @@ class Config:
     use_loaded_results: bool = False
     test_focal_length: int = -1
     vis_thresh: float = 0.3
+    profile: str = ""               # jax.profiler trace dir for test.py/bench
     eval_val: bool = False
     save_video: bool = False
     trainval: bool = False

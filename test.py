@@ -64,6 +64,9 @@ def main(argv=None):
     cfg, extras = parse_config(argv)
     cfg = cfg.replace(dataset=cfg.test_dataset or cfg.dataset)
 
+    from deft_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     import cv2
 
     from deft_tpu.data.datasets import get_dataset
@@ -90,10 +93,19 @@ def main(argv=None):
 
     from deft_tpu.utils.visualize import VideoWriter, plot_tracking
 
+    import contextlib
+
     results = {}
     videos = group_videos(dataset)
     t_start = time.time()
     n_frames = 0
+    if cfg.profile:
+        import jax
+
+        prof_ctx = jax.profiler.trace(cfg.profile)
+    else:
+        prof_ctx = contextlib.nullcontext()
+    prof_ctx.__enter__()
     for video_id, infos in videos.items():
         if runner is not None:
             runner.reset()
@@ -152,6 +164,7 @@ def main(argv=None):
             writer.release()
         logger.write(f"video {video_id}: {len(infos)} frames done")
 
+    prof_ctx.__exit__(None, None, None)
     fps = n_frames / max(time.time() - t_start, 1e-6)
     logger.write(f"tracked {n_frames} frames at {fps:.2f} FPS")
 

@@ -20,6 +20,9 @@ import numpy as np
 
 
 def main(argv=None):
+    from deft_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     from deft_tpu.cli import parse_config
 
     cfg, extras = parse_config(argv)

@@ -11,6 +11,9 @@ import os
 
 
 def main(argv=None):
+    from deft_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     from deft_tpu.cli import parse_config
     from deft_tpu.data.trajectory_dataset import TrajectoryDataset
     from deft_tpu.train.prediction import train_motion_model
