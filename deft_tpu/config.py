@@ -163,6 +163,11 @@ class Config:
     dcn_impl: str = "onehot"
     dcn_offset_range: int = 8                 # offset clamp for non-gather impls
     sims_quant: bool = False                  # uint8 similarity transfer
+    # upload per-frame uint8 DELTAS against the previous warped frame and
+    # reconstruct on device (wraparound arithmetic -- bit-exact).  Wins when
+    # the host<->device transport compresses (remote-attached tunnels);
+    # neutral-to-negative on local PCIe.  fix_res inputs only.
+    delta_upload: bool = False
     # similarity window actually evaluated/downloaded per frame: -1 = auto
     # (freshness_window(dataset) + 2 -- frames beyond it carry temporal decay
     # <= 0.01^((F+1)/3) ~ 0, tracker.py:76-90), 0 = the full 50-slot ring

@@ -118,6 +118,17 @@ class PipelinedRunner:
             "counts": jnp.zeros((50,), jnp.int32),
             "ptr": jnp.zeros((), jnp.int32),
         }
+        # delta uploads: ship uint8 frame deltas, reconstruct device-side
+        # (exact); requires the fixed fix_res input shape
+        self._delta_mode = (cfg.delta_upload and not cfg.public_det
+                            and not cfg.keep_res and cfg.input_h > 0)
+        if self._delta_mode:
+            self.state["prev_frame"] = jnp.zeros(
+                (1, cfg.input_h, cfg.input_w, 3), jnp.uint8
+            )
+            self._prev_warped = np.zeros(
+                (cfg.input_h, cfg.input_w, 3), np.uint8
+            )
         self._pending: List[Dict] = []
         self._chunk_buf: List = []
         self.det.reset_tracking()
@@ -228,6 +239,10 @@ class PipelinedRunner:
 
     def submit_warped(self, warped: np.ndarray, frame_meta: dict):
         """Feed an already-warped uint8 frame (see ``warp``)."""
+        if self._delta_mode:
+            payload = warped - self._prev_warped      # uint8 wraps mod 256
+            self._prev_warped = warped
+            warped = payload
         if self.chunk > 1:
             return self._submit_chunked(warped, frame_meta)
         self._pending.append(self._dispatch_warped(warped, frame_meta))
@@ -249,8 +264,16 @@ class PipelinedRunner:
     def _dispatch_chunk(self):
         if not self._chunk_buf:
             return
-        frames = np.stack([w for w, _ in self._chunk_buf])
         metas = [m for _, m in self._chunk_buf]
+        n_real = len(self._chunk_buf)
+        stack = [w for w, _ in self._chunk_buf]
+        # pad a partial final chunk to the compiled chunk length by repeating
+        # the last frame (ONE compiled scan shape instead of one per
+        # remainder); padded frames' outputs are dropped in _finish_chunk,
+        # and their ring writes are never read (a reset follows the flush)
+        while len(stack) < self.chunk:
+            stack.append(stack[-1])
+        frames = np.stack(stack)
         self._chunk_buf = []
         outs = self._step_chunk(
             self.det.variables, self._jnp.asarray(frames), self.state,
@@ -258,7 +281,8 @@ class PipelinedRunner:
             self._parity_tf(metas[0]),
         )
         packed, sims, self.state = outs
-        fut = self._fetch_pool.submit(self._jax.device_get, (packed, sims))
+        fut = self._fetch_pool.submit(self._jax.device_get,
+                                      (packed[:n_real], sims[:n_real]))
         self._pending.append({"future": fut, "metas": metas})
 
     def _finish_chunk(self, item) -> List:

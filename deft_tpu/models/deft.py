@@ -370,8 +370,18 @@ class DEFTNet(nn.Module):
             class id (embeddings are stably compacted to match the host's
             filtered ordering).
 
+        When ``state`` carries a ``prev_frame`` entry (uint8 [1, H, W, 3]),
+        ``image`` is interpreted as a uint8 DELTA against it (wraparound
+        arithmetic -- bit-exact reconstruction).  Delta uploads let a
+        compressing transport exploit temporal redundancy; see
+        ``Config.delta_upload``.
+
         Returns (dets, embeddings [K, E], sims [W, K, K+1], n_valid, state').
         """
+        prev_frame = None
+        if "prev_frame" in state:
+            image = state["prev_frame"] + image        # uint8 wraps mod 256
+            prev_frame = image
         image = self._maybe_normalize(image)
         dets, emb = self.detect(image, k=k, parity_tf=parity_tf)
         emb = emb[0]                                           # [K, E]
@@ -387,8 +397,13 @@ class DEFTNet(nn.Module):
         # the ring buffer holds at most max_object embeddings (K may exceed it)
         m = self.max_object
         n_valid = jnp.minimum(jnp.sum(valid), m).astype(jnp.int32)
+        if prev_frame is not None:
+            state = dict(state)
+            del state["prev_frame"]
         sims_out, new_state = self._sim_and_record(emb, n_valid, state,
                                                    sims_quant, sim_window)
+        if prev_frame is not None:
+            new_state["prev_frame"] = prev_frame
         # trim the host transfer: embeddings stay device-side (the ring
         # buffer is the only consumer); every per-detection output packs into
         # ONE fp32 buffer and sims into ONE fp16 buffer -- through a

@@ -52,8 +52,14 @@ def test_pipelined_equals_direct_and_chunked(detector):
     det3.reset_tracking()
     ids_direct = ids_of([det3.run(f) for f in frames])
 
+    def canonical(seq):
+        remap = {}
+        return [[remap.setdefault(i, len(remap)) for i in fr] for fr in seq]
+
     assert len(ids_pipe) == len(ids_chunk) == len(ids_direct) == 8
-    assert ids_pipe == ids_chunk == ids_direct
+    # canonicalize: the shared module fixture's IdAllocator keeps counting
+    # across tests, so raw ids depend on test order
+    assert canonical(ids_pipe) == canonical(ids_chunk) == canonical(ids_direct)
 
 
 @pytest.mark.slow
@@ -139,3 +145,34 @@ def test_sim_window_equivalence(detector):
         return [[remap.setdefault(i, len(remap)) for i in fr] for fr in seq]
 
     assert canonical(ids_win) == canonical(ids_full)
+
+
+@pytest.mark.slow
+def test_delta_upload_equivalence(detector):
+    """Delta-encoded uploads reconstruct bit-exactly on device (uint8
+    wraparound), so tracking output must be identical to plain uploads --
+    including through the chunked path with a padded final chunk."""
+    from deft_tpu.inference.detector import Detector
+    from deft_tpu.inference.runner import PipelinedRunner
+
+    frames = [make_frame(t) for t in range(7)]
+
+    r_plain = PipelinedRunner(detector, depth=2)
+    ids_plain = ids_of(r_plain.track_sequence(frames))
+
+    det_d = Detector(detector.cfg.replace(delta_upload=True),
+                     model=detector.model, variables=detector.variables)
+    r_delta = PipelinedRunner(det_d, depth=2)
+    assert r_delta._delta_mode
+    ids_delta = ids_of(r_delta.track_sequence(frames))
+
+    det_dc = Detector(detector.cfg.replace(delta_upload=True),
+                      model=detector.model, variables=detector.variables)
+    r_dchunk = PipelinedRunner(det_dc, depth=1, chunk=3)  # 7 % 3 -> padding
+    ids_dchunk = ids_of(r_dchunk.track_sequence(frames))
+
+    def canonical(seq):
+        remap = {}
+        return [[remap.setdefault(i, len(remap)) for i in fr] for fr in seq]
+
+    assert canonical(ids_plain) == canonical(ids_delta) == canonical(ids_dchunk)
