@@ -67,3 +67,16 @@ def test_cli_nuscenes():
 def test_cli_afe_off():
     cfg, _ = parse_config(["tracking", "--dataset", "mot", "--AFE", "false"])
     assert cfg.afe is False
+
+
+def test_cli_round2_flags():
+    cfg, _ = parse_config([
+        "tracking", "--dataset", "mot", "--public_det",
+        "--load_results", "dets.json", "--embed_parity",
+        "--sim_window", "6", "--dcn_impl", "gather", "--delta_upload",
+        "--sims_quant", "--debug", "2",
+    ])
+    assert cfg.public_det and cfg.embed_parity and cfg.delta_upload
+    assert cfg.sim_window == 6 and cfg.dcn_impl == "gather"
+    assert cfg.sims_quant and cfg.debug == 2
+    assert cfg.load_results == "dets.json"
