@@ -161,7 +161,10 @@ class Config:
     # offset) | "shift" | "pallas".  Whole-model frame_step on v5e bf16:
     # onehot 1.57 ms/frame vs gather 2.05 vs shift 2.22.
     dcn_impl: str = "onehot"
-    dcn_offset_range: int = 8                 # offset clamp for non-gather impls
+    # offset clamp for the non-gather impls; trained DEFT offsets concentrate
+    # well inside +-4 px, and the clamp sets the onehot/shift kernels' halo
+    # size and unrolled-shift count (compile + run time grow with it)
+    dcn_offset_range: int = 4
     sims_quant: bool = False                  # uint8 similarity transfer
     # upload per-frame uint8 DELTAS against the previous warped frame and
     # reconstruct on device (wraparound arithmetic -- bit-exact).  Wins when

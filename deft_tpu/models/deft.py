@@ -99,7 +99,7 @@ class DEFTNet(nn.Module):
     head_convs: Dict[str, Tuple[int, ...]]
     dataset: str = "mot"
     dla_node: str = "dcn"
-    dcn_offset_range: int = 8
+    dcn_offset_range: int = 4
     max_object: int = 100
     prior_bias: float = -4.6
     head_kernel: int = 3

@@ -214,7 +214,7 @@ class ConvNode(nn.Module):
 
 
 def _make_node(node_type: str, features: int, name: str, dtype=None,
-               offset_range: int = 8):
+               offset_range: int = 4):
     if node_type.startswith("dcn"):
         impl = {"dcn": "gather", "dcn_shift": "shift",
                 "dcn_pallas": "pallas", "dcn_onehot": "onehot"}[node_type]
@@ -244,7 +244,7 @@ class IDAUp(nn.Module):
     up_factors: Sequence[int]   # per input level (index 0 unused)
     node_type: str = "dcn"
     dtype: Optional[str] = None
-    offset_range: int = 8
+    offset_range: int = 4
 
     @nn.compact
     def __call__(self, layers: List[jnp.ndarray], startp: int, endp: int,
@@ -270,7 +270,7 @@ class DLAUp(nn.Module):
     channels: Sequence[int]
     node_type: str = "dcn"
     dtype: Optional[str] = None
-    offset_range: int = 8
+    offset_range: int = 4
 
     @nn.compact
     def __call__(self, layers: List[jnp.ndarray], train: bool = False):
@@ -312,7 +312,7 @@ class DLASeg(nn.Module):
     node_type: str = "dcn"
     down_ratio: int = 4
     last_level: int = 5
-    offset_range: int = 8
+    offset_range: int = 4
     with_pre_img: bool = False
     with_pre_hm: bool = False
     channels: Sequence[int] = DLA34_CHANNELS

@@ -122,29 +122,31 @@ def deform_conv_onehot(x, offsets, mask, weight, bias, radius: int = 4,
     dx = jnp.clip(offsets[..., 1], -r, r)
     xs = jnp.arange(ws, dtype=jnp.float32)
     xo = jnp.arange(w, dtype=jnp.float32)
+    kys = jnp.asarray([k // kernel - kernel // 2 for k in range(kk)],
+                      jnp.float32)
+    kxs = jnp.asarray([k % kernel - kernel // 2 for k in range(kk)],
+                      jnp.float32)
 
-    outs = []
-    for k in range(kk):
-        ky = k // kernel - kernel // 2
-        kx = k % kernel - kernel // 2
-        # one-hot hat row per output pixel: positions in padded columns
-        pos = xo[None, :] + (pad + kx) + dx[:, :, k]        # [H, W]
-        sx = jnp.maximum(
-            0.0, 1.0 - jnp.abs(xs[None, None, :] - pos[..., None])
-        ).astype(cdt)                                       # [H, W, WS]
+    # one-hot hat rows for ALL taps at once: [H, W, KK, WS].  Batching taps
+    # into one einsum per vertical shift keeps the graph at 2r+5 contractions
+    # total (vs kk*(2r+3) -- a large XLA-compile-time win) at identical math.
+    pos = xo[None, :, None] + pad + kxs[None, None, :] + dx  # [H, W, KK]
+    sx = jnp.maximum(
+        0.0, 1.0 - jnp.abs(xs[None, None, None, :] - pos[..., None])
+    ).astype(cdt)
 
-        acc = jnp.zeros((h, w, c), jnp.float32)
-        for su in range(ky - r - 1, ky + r + 2):
-            wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy[:, :, k] - (su - ky)))
-            slab = jax.lax.dynamic_slice(
-                xp, (pad + su, 0, 0), (h, ws, c)
-            )                                               # [H, WS, C]
-            g = jnp.einsum("yws,ysc->ywc", sx, slab,
-                           preferred_element_type=jnp.float32)
-            acc = acc + g * wy[..., None]
-        outs.append(acc * mask[:, :, k: k + 1])
+    acc = jnp.zeros((h, w, kk, c), jnp.float32)
+    for su in range(-r - 2, r + 3):
+        # hat weight of this integer row shift, per tap (zero outside reach)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy - (su - kys)))  # [H, W, KK]
+        slab = jax.lax.dynamic_slice(
+            xp, (pad + su, 0, 0), (h, ws, c)
+        )                                                   # [H, WS, C]
+        g = jnp.einsum("ywks,ysc->ywkc", sx, slab,
+                       preferred_element_type=jnp.float32)
+        acc = acc + g * wy[..., None]
 
-    patches = jnp.concatenate([o.reshape(h * w, c) for o in outs], axis=1)
+    patches = (acc * mask[..., None]).reshape(h * w, kk * c)
     out = patches.astype(weight.dtype) @ weight + bias
     return out.reshape(h, w, -1).astype(x.dtype)
 
