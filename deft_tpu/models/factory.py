@@ -55,10 +55,19 @@ def create_model(arch: str, cfg: Config) -> DEFTNet:
         # all expressed through the generic backbone x neck assembly
         # (networks/resnet.py, networks/resdcn.py semantics)
         from deft_tpu.models.generic import build_generic
+        # PoseResDCN sizes its deconv stack from head_conv (resdcn.py:154,
+        # 172-179: 64 -> slimmed [256,128,64], else [256,256,256]);
+        # PoseResNet is always [256,256,256] (resnet.py:139)
+        msra = cfg.msra_outchannel
+        if name == "resdcn" and cfg.heads and cfg.head_convs.get("hm"):
+            msra = int(cfg.head_convs["hm"][0])
+        elif name == "res":
+            msra = 256
         cfg2 = cfg.replace(
             backbone="mobilenet" if name == "mobilenet" else "resnet",
             neck="msraup_plain" if name == "res" else "msraup",
             num_layers=num_layers if num_layers else cfg.num_layers,
+            msra_outchannel=msra,
         )
         return build_generic(cfg2)
     if name == "dlav0":

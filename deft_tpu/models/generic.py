@@ -66,8 +66,9 @@ class GenericNet(nn.Module):
                               name="neck")
             last_channel = channels[-4]
         elif self.neck in ("msraup", "msraup_plain"):
-            self.nk = MSRAUp(self.msra_outchannel, dtype=self.dtype,
-                             name="neck")
+            self.nk = MSRAUp(self.msra_outchannel,
+                             plain=(self.neck == "msraup_plain"),
+                             dtype=self.dtype, name="neck")
             last_channel = self.msra_outchannel
         else:
             raise ValueError(f"unknown neck {self.neck}")

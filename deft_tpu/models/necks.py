@@ -131,23 +131,28 @@ class FullConvTranspose(nn.Module):
 
 class MSRAUp(nn.Module):
     """3x (DCN -> BN -> ReLU -> deconv x2 -> BN -> ReLU)
-    (necks/msraup.py:50-134)."""
+    (necks/msraup.py:50-134; also the PoseResDCN deconv stack,
+    resdcn.py:231-276).  ``plain=True`` drops the DCN+BN+ReLU prefix,
+    giving PoseResNet's plain deconv layers (resnet.py:192-220:
+    ConvTranspose -> BN -> ReLU only, filters [256, 256, 256])."""
 
     out_channel: int = 256         # opt.msra_outchannel, 64 or 256
+    plain: bool = False
     dtype: object = None
 
     @nn.compact
     def __call__(self, feats: List[jnp.ndarray], train: bool = False):
         x = feats[-1]
-        filters = ([256, 128, 64] if self.out_channel == 64
+        filters = ([256, 128, 64] if self.out_channel == 64 and not self.plain
                    else [256, 256, 256])
         taps = []
         for i, f in enumerate(filters):
-            x = DCNv2(f, dtype=self.dtype, name=f"dcn_{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train,
-                             momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                             dtype=self.dtype, name=f"bn_a_{i}")(x)
-            x = nn.relu(x)
+            if not self.plain:
+                x = DCNv2(f, dtype=self.dtype, name=f"dcn_{i}")(x)
+                x = nn.BatchNorm(use_running_average=not train,
+                                 momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                                 dtype=self.dtype, name=f"bn_a_{i}")(x)
+                x = nn.relu(x)
             x = FullConvTranspose(f, dtype=self.dtype, name=f"up_{i}")(x)
             x = nn.BatchNorm(use_running_average=not train,
                              momentum=BN_MOMENTUM, epsilon=BN_EPS,

@@ -125,6 +125,20 @@ class TorchConverter:
         _set(self.params, dst + ("kernel",), np.transpose(w, (2, 3, 1, 0)))
         return True
 
+    def up_full(self, dst: Tuple[str, ...], sd, src: str):
+        """Dense ConvTranspose2d [Cin, Cout, k, k] -> flax ConvTranspose
+        kernel [k, k, Cin, Cout], spatially flipped (flax's conv_transpose
+        correlates the unflipped kernel; torch's ConvTranspose2d is the
+        gradient-of-conv, i.e. the flipped orientation)."""
+        if f"{src}.weight" not in sd:
+            return False
+        w = sd[f"{src}.weight"]
+        w = np.transpose(w, (2, 3, 0, 1))[::-1, ::-1]
+        _set(self.params, dst + ("deconv", "kernel",), np.ascontiguousarray(w))
+        if f"{src}.bias" in sd:
+            _set(self.params, dst + ("deconv", "bias",), sd[f"{src}.bias"])
+        return True
+
     # -- composite translators ----------------------------------------------
 
     def basic_block(self, dst, sd, src):
@@ -179,7 +193,13 @@ class TorchConverter:
                      n, node_type)
         self.ida(("trunk", "ida_up"), sd, "ida_up", 3, node_type)
 
-        # heads: torch names them directly (hm.0.weight, hm.2.weight ...)
+        self.convert_heads(sd, heads)
+        self.convert_afe(sd)
+        return self.params, self.stats
+
+    def convert_heads(self, sd, heads):
+        """torch names head towers directly (hm.0.weight, hm.2.weight ...;
+        base_model.py:36-94)."""
         for head in heads:
             if f"{head}.0.weight" in sd:
                 self.conv(("head_" + head, "conv0"), sd, f"{head}.0")
@@ -187,7 +207,49 @@ class TorchConverter:
             elif f"{head}.weight" in sd:
                 self.conv(("head_" + head, "out"), sd, head)
 
-        self.convert_afe(sd)
+    # -- PoseResNet / PoseResDCN (networks/{resnet,resdcn}.py) ----------------
+
+    _RESNET_BLOCKS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3),
+                      101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+
+    def resnet_block(self, dst, sd, src, bottleneck: bool):
+        self.conv_bn(dst + ("conv1",), sd, f"{src}.conv1", f"{src}.bn1")
+        self.conv_bn(dst + ("conv2",), sd, f"{src}.conv2", f"{src}.bn2")
+        if bottleneck:
+            self.conv_bn(dst + ("conv3",), sd, f"{src}.conv3", f"{src}.bn3")
+        if f"{src}.downsample.0.weight" in sd:
+            self.conv_bn(dst + ("downsample",), sd, f"{src}.downsample.0",
+                         f"{src}.downsample.1")
+
+    def convert_pose_resnet(self, sd, heads: Dict[str, int], num_layers: int,
+                            dcn: bool):
+        """PoseResNet (plain deconvs, resnet.py:120-259) / PoseResDCN
+        (DCN deconv stages, resdcn.py:151-295) -> GenericNet params."""
+        bottleneck = num_layers >= 50
+        bb = ("backbone",)
+        self.conv_bn(bb + ("conv1",), sd, "conv1", "bn1")
+        for s, n in enumerate(self._RESNET_BLOCKS[num_layers]):
+            for b in range(n):
+                self.resnet_block(bb + (f"layer{s + 1}_{b}",), sd,
+                                  f"layer{s + 1}.{b}", bottleneck)
+        # deconv stack: per stage resdcn packs [DCN, BN, ReLU, up, BN, ReLU]
+        # (resdcn.py:231-276); resnet packs [up, BN, ReLU] (resnet.py:192-220)
+        stride = 6 if dcn else 3
+        for i in range(3):
+            base = f"deconv_layers.{i * stride}"
+            if dcn:
+                self.dcn(("neck", f"dcn_{i}"), sd, base)
+                self.bn(("neck", f"bn_a_{i}"), sd,
+                        f"deconv_layers.{i * stride + 1}")
+                self.up_full(("neck", f"up_{i}"), sd,
+                             f"deconv_layers.{i * stride + 3}")
+                self.bn(("neck", f"bn_b_{i}"), sd,
+                        f"deconv_layers.{i * stride + 4}")
+            else:
+                self.up_full(("neck", f"up_{i}"), sd, base)
+                self.bn(("neck", f"bn_b_{i}"), sd,
+                        f"deconv_layers.{i * stride + 1}")
+        self.convert_heads(sd, heads)
         return self.params, self.stats
 
     def convert_afe(self, sd):
@@ -244,7 +306,14 @@ def convert_torch_checkpoint(path_or_sd, cfg):
     sd = (load_torch_state_dict(path_or_sd)
           if isinstance(path_or_sd, str) else dict(path_or_sd))
     conv = TorchConverter(cfg.dataset)
-    params_t, stats_t = conv.convert_dla34(sd, cfg.heads, cfg.dla_node)
+    arch = cfg.arch.split("_")[0]
+    if arch in ("res", "resdcn"):
+        num_layers = int(cfg.arch.split("_")[1]) if "_" in cfg.arch else 18
+        params_t, stats_t = conv.convert_pose_resnet(
+            sd, cfg.heads, num_layers, dcn=(arch == "resdcn")
+        )
+    else:
+        params_t, stats_t = conv.convert_dla34(sd, cfg.heads, cfg.dla_node)
 
     model = create_model(cfg.arch, cfg)
     params, stats = init_model(model, cfg)
