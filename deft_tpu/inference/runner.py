@@ -72,7 +72,7 @@ class PipelinedRunner:
                 variables, image, state, thresh, k=cfg.K,
                 class_filter=class_filter, sims_quant=cfg.sims_quant,
                 sim_window=sim_window, parity_tf=parity_tf,
-                method="frame_step",
+                flip_test=cfg.flip_test, method="frame_step",
             )
 
         def step_chunk(variables, images, state, thresh, parity_tf):
@@ -80,7 +80,7 @@ class PipelinedRunner:
                 variables, images, state, thresh, k=cfg.K,
                 class_filter=class_filter, sims_quant=cfg.sims_quant,
                 sim_window=sim_window, parity_tf=parity_tf,
-                method="frame_chunk",
+                flip_test=cfg.flip_test, method="frame_chunk",
             )
 
         def step_embed(variables, image, centers, n_dets, state):

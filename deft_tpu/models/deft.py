@@ -349,7 +349,8 @@ class DEFTNet(nn.Module):
 
     def frame_step(self, image, state, out_thresh, k: int = 100,
                    class_filter: int = -1, sims_quant: bool = False,
-                   sim_window: int = 0, parity_tf=None):
+                   sim_window: int = 0, parity_tf=None,
+                   flip_test: bool = False):
         """The fully fused per-frame tracking program (ONE host round trip).
 
         Runs detect, selects the valid detections (score >= out_thresh, and
@@ -383,7 +384,8 @@ class DEFTNet(nn.Module):
             image = state["prev_frame"] + image        # uint8 wraps mod 256
             prev_frame = image
         image = self._maybe_normalize(image)
-        dets, emb = self.detect(image, k=k, parity_tf=parity_tf)
+        dets, emb = self.detect(image, k=k, parity_tf=parity_tf,
+                                flip_test=flip_test)
         emb = emb[0]                                           # [K, E]
         scores = dets["scores"][0]
         valid = scores >= out_thresh                           # sorted prefix
@@ -418,7 +420,8 @@ class DEFTNet(nn.Module):
 
     def frame_chunk(self, images, state, out_thresh, k: int = 100,
                     class_filter: int = -1, sims_quant: bool = False,
-                    sim_window: int = 0, parity_tf=None):
+                    sim_window: int = 0, parity_tf=None,
+                    flip_test: bool = False):
         """``frame_step`` scanned over a chunk of frames in ONE program.
 
         Ring-buffer updates happen in frame order inside the scan, so the
@@ -435,6 +438,7 @@ class DEFTNet(nn.Module):
                 image[None], carry, out_thresh, k=k,
                 class_filter=class_filter, sims_quant=sims_quant,
                 sim_window=sim_window, parity_tf=parity_tf,
+                flip_test=flip_test,
             )
             return new_state, (packed, sims)
 

@@ -176,3 +176,27 @@ def test_delta_upload_equivalence(detector):
         return [[remap.setdefault(i, len(remap)) for i in fr] for fr in seq]
 
     assert canonical(ids_plain) == canonical(ids_delta) == canonical(ids_dchunk)
+
+
+@pytest.mark.slow
+def test_flip_test_mirror_consistency(detector):
+    """detect(flip_test=True) averages the straight and mirrored passes
+    (detector.py:496-528 table), so its output must be equivariant under
+    input mirroring: same scores, x-mirrored boxes."""
+    import jax.numpy as jnp
+
+    model, variables = detector.model, detector.variables
+    frame, _ = detector.pre_process(make_frame(0))
+    img = jnp.asarray(frame)
+    d1, _ = model.apply(variables, img, k=8, flip_test=True, method="detect")
+    d2, _ = model.apply(variables, img[:, :, ::-1, :], k=8, flip_test=True,
+                        method="detect")
+    s1 = np.asarray(d1["scores"][0])
+    s2 = np.asarray(d2["scores"][0])
+    np.testing.assert_allclose(np.sort(s1), np.sort(s2), rtol=1e-3, atol=1e-4)
+    out_w = frame.shape[2] // 4
+    b1 = np.asarray(d1["bboxes"][0][0])       # top detection, [x1,y1,x2,y2]
+    b2 = np.asarray(d2["bboxes"][0][0])
+    np.testing.assert_allclose(b2[0], out_w - 1 - b1[2], atol=0.1)
+    np.testing.assert_allclose(b2[2], out_w - 1 - b1[0], atol=0.1)
+    np.testing.assert_allclose(b2[1], b1[1], atol=1e-2)
