@@ -131,6 +131,7 @@ class PipelinedRunner:
             )
         self._pending: List[Dict] = []
         self._chunk_buf: List = []
+        self._ring_dirty = False
         self.det.reset_tracking()
 
     # ---- pipeline ------------------------------------------------------------
@@ -239,6 +240,11 @@ class PipelinedRunner:
 
     def submit_warped(self, warped: np.ndarray, frame_meta: dict):
         """Feed an already-warped uint8 frame (see ``warp``)."""
+        if self._ring_dirty:
+            raise RuntimeError(
+                "a padded partial chunk was flushed (device ring holds pad "
+                "entries); call reset() before submitting more frames"
+            )
         if self._delta_mode:
             payload = warped - self._prev_warped      # uint8 wraps mod 256
             self._prev_warped = warped
@@ -271,6 +277,8 @@ class PipelinedRunner:
         # the last frame (ONE compiled scan shape instead of one per
         # remainder); padded frames' outputs are dropped in _finish_chunk,
         # and their ring writes are never read (a reset follows the flush)
+        if n_real < self.chunk:
+            self._ring_dirty = True       # device ring holds padded entries
         while len(stack) < self.chunk:
             stack.append(stack[-1])
         frames = np.stack(stack)
