@@ -20,7 +20,8 @@ Grid: one program per tile_h output rows.  The padded input stays in HBM
 ``deform_conv_shift_xla`` is the same math in pure XLA (correctness oracle
 on CPU and fallback); ``deform_conv_pallas`` is the TPU kernel.
 
-Status (v5e, 136x240x64->64 layer, offsets in +-3):
+Round-1 status (v5e, 136x240x64->64 layer, offsets in +-3; measured with
+per-iteration synchronous fetches through the remote relay):
   XLA gather (models/dcn.py)          12.8 ms   (baseline; ~24 GB/s gather)
   shift-XLA per-tap (this file)        9.0 ms   exact within R
   pallas fused (deform_conv_pallas)    OOMs VMEM stack when fully unrolled
@@ -28,9 +29,19 @@ Status (v5e, 136x240x64->64 layer, offsets in +-3):
                                                 a physical copy per shifted
                                                 slice, so the (2R+5)^2 reads
                                                 become (2R+5)^2 copies
-Round-2 leads: express the stencil so the shift rides the FMA's strided
-read (tpu.dynamic_rotate / per-row layout), or block columns so the halo
-fits registers.
+
+Round-2 resolution: ``deform_conv_onehot`` (below) replaces the gather with
+a batched one-hot MATMUL -- the horizontal hat function evaluated on an
+iota forms a [W, W+2p] left operand per row, so the gather is dense MXU
+work, and the vertical axis needs only 2r+5 free dim-0 row slices.  Taps
+are batched into the einsum (2r+5 contractions per layer total), keeping
+the XLA compile of the dcn-node TRAIN step in minutes.  Measured at the
+whole-model level (fused frame_step, v5e bf16 544x960, comparative chained
+runs): gather 2.05 -> onehot 1.57 ms/frame; shift 2.22.  onehot is the
+default ``dcn_impl``.  A Pallas port of the same algorithm (VMEM-resident
+slab + in-kernel hat generation) is the remaining headroom (~est. 2x on
+the DCN share); not pursued while the per-frame device time (~1.6 ms) sits
+30x under this environment's transfer floor.
 """
 
 from __future__ import annotations
