@@ -173,11 +173,12 @@ def main(argv=None):
         with open(os.path.join(cfg.save_dir,
                                f"save_results_{cfg.dataset}.json"), "w") as f:
             json.dump({str(k): _jsonable(v) for k, v in results.items()}, f)
-    metrics = dataset.run_eval(
-        results, cfg.save_dir,
-        gt_dir=os.path.join(extras["data_dir"], _dataset_dirname(cfg), "train")
-        if cfg.dataset == "mot" else None,
-    )
+    eval_kw = {}
+    if cfg.dataset == "mot":
+        eval_kw["gt_dir"] = os.path.join(
+            extras["data_dir"], _dataset_dirname(cfg), "train"
+        )
+    metrics = dataset.run_eval(results, cfg.save_dir, **eval_kw)
     logger.close()
     return metrics
 
