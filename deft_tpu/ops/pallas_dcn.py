@@ -392,3 +392,124 @@ def deform_conv_pallas_tap(x, offsets, mask, weight, bias, radius: int = 4,
         weight = wfull
     out = patches.reshape(h * w, kk * cp).astype(weight.dtype) @ weight + bias
     return out.reshape(h, w, cout).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas port of the one-hot matmul algorithm: the padded input slab lives in
+# VMEM (DMA'd with halo per row tile), the hat operands are generated
+# in-kernel (never touching HBM), and each vertical shift contracts on the
+# MXU.  Opt-in via dcn_impl=pallas_onehot.
+# ---------------------------------------------------------------------------
+
+def _onehot_kernel(xp_hbm, dy_ref, dx_ref, mask_ref, out_ref, slab_ref, sem,
+                   *, radius: int, kernel: int, tile_h: int, width: int,
+                   ws: int, channels: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kk = kernel * kernel
+    r = radius
+    pad = r + 2
+    i = pl.program_id(0)
+
+    cp = pltpu.make_async_copy(
+        xp_hbm.at[pl.ds(i * tile_h, tile_h + 2 * pad)], slab_ref, sem
+    )
+    cp.start()
+    cp.wait()
+
+    dy = jnp.clip(dy_ref[...], -r, r)            # [tile_h, W, KK]
+    dx = jnp.clip(dx_ref[...], -r, r)
+
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, kk), 2)
+    kys = (kidx // kernel - kernel // 2).astype(jnp.float32)
+    kxs = (kidx % kernel - kernel // 2).astype(jnp.float32)
+
+    # hat rows for all taps: [tile_h, W, KK, WS], generated in VMEM
+    xs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, ws), 3).astype(
+        jnp.float32)
+    xo = jax.lax.broadcasted_iota(jnp.int32, (1, width, 1), 1).astype(
+        jnp.float32)
+    pos = xo + pad + kxs + dx                     # [tile_h, W, KK]
+    sx = jnp.maximum(0.0, 1.0 - jnp.abs(xs - pos[..., None]))
+    sx = sx.astype(slab_ref.dtype)
+
+    acc = jnp.zeros((tile_h, width, kk, channels), jnp.float32)
+    for su in range(-r - 2, r + 3):
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy - (su - kys)))
+        slab = slab_ref[pl.ds(pad + su, tile_h), :, :]        # [th, WS, C]
+        g = jax.lax.dot_general(
+            sx, slab,
+            dimension_numbers=(((3,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                         # [th, W, KK, C]
+        acc = acc + g * wy[..., None]
+
+    res = acc * mask_ref[...][..., None]          # [th, W, KK, C]
+    out_ref[...] = jnp.transpose(res, (2, 0, 1, 3)).astype(out_ref.dtype)
+
+
+def deform_conv_pallas_onehot(x, offsets, mask, weight, bias,
+                              radius: int = 4, kernel: int = 3,
+                              tile_h: int = 8, interpret: bool = False):
+    """One-hot matmul DCN as a Pallas kernel (sampling in-kernel; the final
+    [KK*C, Cout] contraction stays in XLA).  Same contract as
+    deform_conv_onehot.
+
+    STATUS: validated in interpreter mode (bf16-slab tolerance); TPU
+    compilation is blocked by Mosaic "infer-vector-layout: unsupported
+    shape cast" -- first on merging [th, W, KK, WS] -> [th, W*KK, WS]
+    (reshape across the lane dim), and after removing every explicit
+    reshape, inside the 4-D two-free-dim dot_general lowering itself.
+    Next lead: per-tap 3-D batched dots (kk in-kernel loop) at the cost of
+    kk*(2r+5) dots per tile.  Not wired into dcn_impl; the XLA onehot
+    lowering (deform_conv_onehot) is the production kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h, w, c = x.shape
+    kk = kernel * kernel
+    cout = weight.shape[1]
+    r = radius
+    pad = r + 2
+    th = tile_h
+    h_pad = -(-h // th) * th
+    cp = -(-c // 128) * 128
+    ws = w + 2 * pad
+    xp = jnp.pad(x, ((pad, pad + (h_pad - h)), (pad, pad), (0, cp - c)))
+    xp = xp.astype(jnp.bfloat16)
+    offsets = jnp.pad(offsets, ((0, h_pad - h), (0, 0), (0, 0), (0, 0)))
+    mask = jnp.pad(mask, ((0, h_pad - h), (0, 0), (0, 0)))
+
+    patches = pl.pallas_call(
+        functools.partial(
+            _onehot_kernel, radius=r, kernel=kernel, tile_h=th, width=w,
+            ws=ws, channels=cp,
+        ),
+        out_shape=jax.ShapeDtypeStruct((kk, h_pad, w, cp), jnp.bfloat16),
+        grid=(h_pad // th,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((th, w, kk), lambda i: (i, 0, 0)),
+            pl.BlockSpec((th, w, kk), lambda i: (i, 0, 0)),
+            pl.BlockSpec((th, w, kk), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((kk, th, w, cp), lambda i: (0, i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2 * pad, ws, cp), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, offsets[..., 0], offsets[..., 1], mask)
+
+    # [KK, H, W, Cp] -> [H*W, KK*Cp] (tap-major rows) outside the kernel
+    patches = jnp.transpose(patches[:, :h], (1, 2, 0, 3)).reshape(
+        h * w, kk * cp)
+    if cp != c:
+        wfull = jnp.zeros((kk * cp, cout), weight.dtype)
+        for k in range(kk):
+            wfull = wfull.at[k * cp: k * cp + c].set(
+                weight[k * c: (k + 1) * c])
+        weight = wfull
+    out = patches.astype(weight.dtype) @ weight + bias
+    return out.reshape(h, w, cout).astype(x.dtype)

@@ -76,3 +76,29 @@ def test_model_level_equivalence_at_init(problem):
     os_, _ = ms.apply(v, img)
     np.testing.assert_allclose(np.asarray(og["hm"]), np.asarray(os_["hm"]),
                                atol=1e-5)
+
+
+def test_pallas_onehot_interpret_matches_oracle():
+    """The Pallas port of the one-hot matmul kernel (interpreter mode; TPU
+    compile is Mosaic-blocked, see the function docstring)."""
+    import jax.numpy as jnp
+
+    from deft_tpu.models.dcn import deform_sample
+    from deft_tpu.ops.pallas_dcn import deform_conv_pallas_onehot
+
+    rng = np.random.RandomState(3)
+    h, w, c, cout, r = 13, 17, 8, 6, 4
+    x = rng.randn(h, w, c).astype(np.float32)
+    off = (rng.rand(h, w, 9, 2).astype(np.float32) * 2 * r - r)
+    mask = rng.rand(h, w, 9).astype(np.float32)
+    wgt = rng.randn(9 * c, cout).astype(np.float32) * 0.1
+    b = rng.randn(cout).astype(np.float32) * 0.1
+
+    patches = deform_sample(jnp.asarray(x), jnp.asarray(off), jnp.asarray(mask))
+    ref = np.asarray(patches.reshape(h * w, 9 * c) @ wgt + b).reshape(h, w, cout)
+    got = np.asarray(deform_conv_pallas_onehot(
+        jnp.asarray(x), jnp.asarray(off), jnp.asarray(mask),
+        jnp.asarray(wgt), jnp.asarray(b), radius=r, interpret=True,
+    ))
+    # bf16 slab inside the kernel -> relative tolerance of the bf16 mantissa
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
