@@ -53,6 +53,8 @@ class Config:
     batch_size: int = 4
     num_iters: int = -1
     val_intervals: int = 10000
+    test: bool = False              # short-circuit train.py to evaluation
+                                    # (reference train.py:68-71)
     momentum: float = 0.9           # SGD path (reference train.py:25-30)
     weight_decay: float = 1e-4
 

@@ -50,7 +50,15 @@ class CocoDataset(GenericDataset):
         return path
 
     def run_eval(self, results, save_dir):
-        return self.save_results(results, save_dir)
+        """Save the results json and compute the COCO 12-metric summary with
+        the bundled evaluator (reference coco.py runs pycocotools COCOeval;
+        tools/eval_coco.py reimplements that protocol)."""
+        self.save_results(results, save_dir)
+        from tools.eval_coco import evaluate, print_summary
+
+        stats = evaluate(self.coco, self.convert_eval_format(results))
+        print_summary(stats)
+        return stats
 
 
 class CustomDataset(GenericDataset):

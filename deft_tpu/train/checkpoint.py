@@ -41,12 +41,22 @@ def _restore_numpy(path: str):
 
 
 def save_checkpoint(path: str, params, batch_stats, opt_state=None,
-                    epoch: int = 0, extra: Optional[Dict[str, Any]] = None):
+                    epoch: int = 0, step=None,
+                    extra: Optional[Dict[str, Any]] = None):
+    """Write a checkpoint.  ``opt_state``/``step`` make it resumable with full
+    fidelity (the reference stores the torch optimizer dict the same way,
+    model.py:113-121); epoch-snapshot checkpoints may omit them."""
     ocp = _ocp()
     path = os.path.abspath(path)
     payload = {"params": params, "batch_stats": batch_stats, "epoch": epoch}
     if opt_state is not None:
-        payload["opt_state"] = opt_state
+        # optax states are NamedTuple pytrees; orbax round-trips plain dicts,
+        # so serialize through flax (structure restored in load_train_state)
+        from flax import serialization
+
+        payload["opt_state"] = serialization.to_state_dict(opt_state)
+    if step is not None:
+        payload["step"] = int(step)
     if extra:
         payload.update(extra)
     ckptr = ocp.PyTreeCheckpointer()
@@ -102,15 +112,52 @@ def load_checkpoint(path: str, model, cfg, params=None, batch_stats=None):
     return {"params": params, "batch_stats": batch_stats}
 
 
-def load_train_state(path: str, state):
-    """Resume training: restore into an existing TrainState pytree."""
+def load_train_state(path: str, state, steps_per_epoch: int = 0):
+    """Resume training: restore into an existing TrainState pytree.
+
+    Restores optimizer state and the schedule step so a resumed run keeps its
+    Adam moments AND its position in the piecewise LR decay (reference
+    model.py:94-106 restores the optimizer and re-derives the LR from the
+    epoch).  Checkpoints written without ``opt_state``/``step`` (epoch
+    snapshots, pre-round-3 files) fall back to fresh optimizer moments with
+    the step re-derived from ``epoch * steps_per_epoch`` -- which still puts
+    the LR schedule at the right boundary.
+    """
     loaded = _restore_numpy(os.path.abspath(path))
-    return state.replace(
+    epoch = int(loaded.get("epoch", 0))
+    new = state.replace(
         params=_merge_tolerant(state.params, loaded.get("params")),
         batch_stats=_merge_tolerant(state.batch_stats, loaded.get("batch_stats")),
         s_det=loaded.get("s_det", state.s_det),
         s_id=loaded.get("s_id", state.s_id),
-    ), int(loaded.get("epoch", 0))
+    )
+    step = loaded.get("step")
+    if step is None:
+        step = epoch * steps_per_epoch
+        if "opt_state" in loaded:
+            print("checkpoint: no step recorded; deriving LR-schedule step "
+                  f"from epoch ({epoch} * {steps_per_epoch})")
+    new = new.replace(step=jnp_int32(step))
+    if "opt_state" in loaded:
+        from flax import serialization
+
+        try:
+            new = new.replace(opt_state=serialization.from_state_dict(
+                state.opt_state, loaded["opt_state"]))
+        except (KeyError, ValueError, TypeError) as e:
+            # structural mismatch (e.g. head graft changed the params tree):
+            # keep fresh moments, like the reference's tolerant load
+            print(f"checkpoint: optimizer state incompatible ({e}); "
+                  "keeping fresh optimizer moments")
+    else:
+        print("checkpoint: no optimizer state saved; fresh moments")
+    return new, epoch
+
+
+def jnp_int32(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(int(x), jnp.int32)
 
 
 def save_motion_checkpoint(path: str, motion):

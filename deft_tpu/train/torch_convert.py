@@ -172,20 +172,27 @@ class TorchConverter:
             self.node(dst + (f"node_{j}",), sd, f"{src}.node_{j}", node_type)
             self.up(dst + (f"up_{j}",), sd, f"{src}.up_{j}")
 
-    def convert_dla34(self, sd, heads: Dict[str, int], node_type: str = "dcn"):
-        # backbone
+    def dla34_base(self, sd, prefix: str = "base."):
+        """DLA-34 trunk mapping.  ``prefix="base."`` for DLASeg checkpoints;
+        ``prefix=""`` for a bare imagenet ``dla34`` state_dict (the layout
+        model_zoo serves for dla.py:433-441 pretrained init)."""
         base = ("trunk", "base")
-        self.conv_bn(base + ("base_layer",), sd, "base.base_layer.0",
-                     "base.base_layer.1")
+        self.conv_bn(base + ("base_layer",), sd, f"{prefix}base_layer.0",
+                     f"{prefix}base_layer.1")
         for name in ("pre_img_layer", "pre_hm_layer"):
-            self.conv_bn(base + (name,), sd, f"base.{name}.0", f"base.{name}.1")
-        self.conv_bn(base + ("level0_conv0",), sd, "base.level0.0",
-                     "base.level0.1")
-        self.conv_bn(base + ("level1_conv0",), sd, "base.level1.0",
-                     "base.level1.1")
+            self.conv_bn(base + (name,), sd, f"{prefix}{name}.0",
+                         f"{prefix}{name}.1")
+        self.conv_bn(base + ("level0_conv0",), sd, f"{prefix}level0.0",
+                     f"{prefix}level0.1")
+        self.conv_bn(base + ("level1_conv0",), sd, f"{prefix}level1.0",
+                     f"{prefix}level1.1")
         for lvl, levels in (("level2", 1), ("level3", 2), ("level4", 2),
                             ("level5", 1)):
-            self.tree(base + (lvl,), sd, f"base.{lvl}", levels)
+            self.tree(base + (lvl,), sd, f"{prefix}{lvl}", levels)
+
+    def convert_dla34(self, sd, heads: Dict[str, int], node_type: str = "dcn"):
+        # backbone
+        self.dla34_base(sd, "base.")
 
         # dla_up: ida_0 (2 ch), ida_1 (3 ch), ida_2 (4 ch)
         for i, n in enumerate((2, 3, 4)):
@@ -221,10 +228,10 @@ class TorchConverter:
             self.conv_bn(dst + ("downsample",), sd, f"{src}.downsample.0",
                          f"{src}.downsample.1")
 
-    def convert_pose_resnet(self, sd, heads: Dict[str, int], num_layers: int,
-                            dcn: bool):
-        """PoseResNet (plain deconvs, resnet.py:120-259) / PoseResDCN
-        (DCN deconv stages, resdcn.py:151-295) -> GenericNet params."""
+    def resnet_backbone(self, sd, num_layers: int):
+        """torchvision-layout ResNet trunk (conv1/bn1/layerN.M...) -- the
+        same names an imagenet ``resnetXX`` state_dict uses (the reference
+        loads those via model_zoo, resnet.py:122-127)."""
         bottleneck = num_layers >= 50
         bb = ("backbone",)
         self.conv_bn(bb + ("conv1",), sd, "conv1", "bn1")
@@ -232,6 +239,12 @@ class TorchConverter:
             for b in range(n):
                 self.resnet_block(bb + (f"layer{s + 1}_{b}",), sd,
                                   f"layer{s + 1}.{b}", bottleneck)
+
+    def convert_pose_resnet(self, sd, heads: Dict[str, int], num_layers: int,
+                            dcn: bool):
+        """PoseResNet (plain deconvs, resnet.py:120-259) / PoseResDCN
+        (DCN deconv stages, resdcn.py:151-295) -> GenericNet params."""
+        self.resnet_backbone(sd, num_layers)
         # deconv stack: per stage resdcn packs [DCN, BN, ReLU, up, BN, ReLU]
         # (resdcn.py:231-276); resnet packs [up, BN, ReLU] (resnet.py:192-220)
         stride = 6 if dcn else 3
@@ -293,9 +306,45 @@ class TorchConverter:
                     self.bn(dst + (bn_name,), sd, f"AFE.final_net.{bn_idx}")
 
 
+def is_imagenet_backbone_sd(sd) -> bool:
+    """A bare imagenet trunk state_dict: dla34 (base_layer.* without the
+    DLASeg ``base.`` prefix) or torchvision resnet (conv1 + layer1 without
+    any deconv/head keys)."""
+    if "base_layer.0.weight" in sd and "base.base_layer.0.weight" not in sd:
+        return True
+    return ("conv1.weight" in sd and "layer1.0.conv1.weight" in sd
+            and not any(k.startswith("deconv_layers") for k in sd)
+            and "hm.0.weight" not in sd and "hm.weight" not in sd)
+
+
+def convert_torch_imagenet_backbone(path_or_sd, cfg):
+    """Bare imagenet trunk .pth -> trunk-only (params, stats) trees.
+
+    The reference initializes its backbones from imagenet model-zoo weights
+    (dla.py:433-441 ``dla34(pretrained=...)``, resnet.py:122-127
+    model_zoo.load_url); this is the equivalent conversion for training from
+    real data: only trunk leaves are produced, everything else (neck on
+    resnet archs, heads, AFE) keeps its fresh initialization via the
+    tolerant merge in convert_torch_checkpoint.
+    """
+    sd = (load_torch_state_dict(path_or_sd)
+          if isinstance(path_or_sd, str) else dict(path_or_sd))
+    conv = TorchConverter(cfg.dataset)
+    arch = cfg.arch.split("_")[0]
+    if "base_layer.0.weight" in sd:
+        conv.dla34_base(sd, prefix="")
+    else:
+        num_layers = (int(cfg.arch.split("_")[1])
+                      if "_" in cfg.arch and arch in ("res", "resdcn")
+                      else 18)
+        conv.resnet_backbone(sd, num_layers)
+    return conv.params, conv.stats
+
+
 def convert_torch_checkpoint(path_or_sd, cfg):
     """Reference .pth (or a loaded state_dict) -> {"params", "batch_stats"}
     overlayed onto a freshly initialized model (tolerant like model.py:47-90).
+    Bare imagenet backbone checkpoints are detected and mapped trunk-only.
     """
     import jax
 
@@ -307,7 +356,9 @@ def convert_torch_checkpoint(path_or_sd, cfg):
           if isinstance(path_or_sd, str) else dict(path_or_sd))
     conv = TorchConverter(cfg.dataset)
     arch = cfg.arch.split("_")[0]
-    if arch in ("res", "resdcn"):
+    if is_imagenet_backbone_sd(sd):
+        params_t, stats_t = convert_torch_imagenet_backbone(sd, cfg)
+    elif arch in ("res", "resdcn"):
         num_layers = int(cfg.arch.split("_")[1]) if "_" in cfg.arch else 18
         params_t, stats_t = conv.convert_pose_resnet(
             sd, cfg.heads, num_layers, dcn=(arch == "resdcn")

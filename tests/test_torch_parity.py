@@ -350,3 +350,58 @@ def test_resdcn_conversion_parity():
             np.asarray(j_out[h]).transpose(0, 3, 1, 2), t_heads[h].numpy(),
             rtol=1e-3, atol=1e-4, err_msg=f"head {h} mismatch",
         )
+
+
+def test_imagenet_backbone_conversion(torch_ref, converted):
+    """A bare imagenet ``dla34`` state_dict (no ``base.`` prefix, no heads;
+    the layout model_zoo serves for dla.py:433-441) converts trunk-only:
+    trunk params match the full-checkpoint conversion, non-trunk leaves keep
+    their fresh init, and the extra classifier key is tolerated."""
+    from deft_tpu.train.torch_convert import (
+        convert_torch_checkpoint,
+        is_imagenet_backbone_sd,
+    )
+
+    cfg, model, full_vars = converted
+    base_sd = {k: v.detach().numpy()
+               for k, v in torch_ref.base.state_dict().items()}
+    # imagenet dla34 ships a classifier the detector never uses
+    base_sd["fc.weight"] = np.zeros((1000, 512, 1, 1), np.float32)
+    base_sd["fc.bias"] = np.zeros((1000,), np.float32)
+    assert is_imagenet_backbone_sd(base_sd)
+    full_ref_sd = {k: v.detach().numpy()
+                   for k, v in torch_ref.state_dict().items()}
+    assert not is_imagenet_backbone_sd(full_ref_sd)
+
+    variables = convert_torch_checkpoint(base_sd, cfg)
+
+    def flat(tree, prefix=()):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                yield from flat(v, prefix + (k,))
+            else:
+                yield prefix + (k,), v
+
+    full_base = dict(flat(full_vars["params"]["trunk"]["base"]))
+    conv_base = dict(flat(variables["params"]["trunk"]["base"]))
+    assert set(conv_base) == set(full_base)
+    n_checked = 0
+    for key, v in conv_base.items():
+        # pre_img/pre_hm layers are absent from an imagenet trunk: fresh init
+        if key[0] in ("pre_img_layer", "pre_hm_layer"):
+            continue
+        np.testing.assert_allclose(v, full_base[key], rtol=1e-6,
+                                   err_msg=f"trunk leaf {key}")
+        n_checked += 1
+    assert n_checked > 50
+
+    # head towers keep their fresh initialization (prior_bias intact)
+    hm_bias = variables["params"]["head_hm"]["out"]["bias"]
+    np.testing.assert_allclose(np.asarray(hm_bias), cfg.prior_bias)
+
+    # and the grafted model still runs forward
+    import jax.numpy as jnp
+
+    out, fmaps = model.apply(variables, jnp.zeros((1, 64, 64, 3)),
+                             train=False)
+    assert len(fmaps) == 13 and "hm" in out

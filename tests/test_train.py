@@ -125,6 +125,63 @@ def test_rot_loss_finite(rng):
 
 
 @pytest.mark.slow
+def test_resume_fidelity(rng, tmp_path):
+    """Checkpoint/resume restores optimizer moments AND the LR-schedule step:
+    a resumed run reproduces the uninterrupted run's loss trajectory, across
+    an lr_step decay boundary (reference model.py:94-106 semantics)."""
+    from deft_tpu.train import checkpoint as ckpt
+
+    steps_per_epoch = 2
+    cfg = tiny_cfg().replace(lr_step=(1,), lr=1e-3)  # decay boundary: step 2
+    model = create_model(cfg.arch, cfg)
+    params, bstats = init_model(model, cfg)
+    params_np = jax.tree.map(np.asarray, params)
+    bstats_np = jax.tree.map(np.asarray, bstats)
+
+    def fresh_state():
+        p = jax.tree.map(jnp.asarray, params_np)
+        b = jax.tree.map(jnp.asarray, bstats_np)
+        return create_train_state(model, cfg, p, b, steps_per_epoch)
+
+    tx = make_optimizer(cfg, steps_per_epoch)
+    step = make_train_step(model, cfg, tx)
+    batch = synth_batch(rng)
+
+    # uninterrupted: 4 steps (steps 3-4 run at the decayed LR)
+    state = fresh_state()
+    ref_losses = []
+    for _ in range(4):
+        state, stats = step(state, batch)
+        ref_losses.append(float(stats["joint"]))
+
+    # interrupted: 2 steps -> checkpoint (epoch 1) -> fresh state -> resume
+    state = fresh_state()
+    for _ in range(2):
+        state, stats = step(state, batch)
+    path = str(tmp_path / "model_last")
+    ckpt.save_checkpoint(path, state.params, state.batch_stats,
+                         opt_state=state.opt_state, epoch=1,
+                         step=int(state.step),
+                         extra={"s_det": state.s_det, "s_id": state.s_id})
+    resumed, epoch = ckpt.load_train_state(path, fresh_state(), steps_per_epoch)
+    assert epoch == 1
+    assert int(resumed.step) == 2
+    res_losses = []
+    for _ in range(2):
+        resumed, stats = step(resumed, batch)
+        res_losses.append(float(stats["joint"]))
+    np.testing.assert_allclose(res_losses, ref_losses[2:], rtol=1e-5)
+
+    # legacy checkpoint (no opt_state/step): schedule step re-derived from
+    # the epoch so post-lr_step resumes still use the decayed LR
+    path2 = str(tmp_path / "model_old")
+    ckpt.save_checkpoint(path2, state.params, state.batch_stats, epoch=1)
+    resumed2, epoch2 = ckpt.load_train_state(path2, fresh_state(),
+                                             steps_per_epoch)
+    assert epoch2 == 1 and int(resumed2.step) == steps_per_epoch
+
+
+@pytest.mark.slow
 def test_train_step_decreases_loss(rng):
     cfg = tiny_cfg()
     model = create_model(cfg.arch, cfg)

@@ -27,6 +27,13 @@ def main(argv=None):
 
     cfg, extras = parse_config(argv)
 
+    # --test short-circuits straight to evaluation of the loaded checkpoint
+    # through the full tracking test flow + dataset.run_eval (reference
+    # train.py:68-71 routes through trainer.val + run_eval; here the bundled
+    # test entry point IS that surface, with real tracking metrics)
+    if cfg.test:
+        return _run_tracking_eval(argv, cfg)
+
     import jax
 
     from deft_tpu.data.datasets import get_dataset
@@ -37,6 +44,7 @@ def main(argv=None):
     from deft_tpu.train.trainer import (
         create_train_state,
         loss_and_updates,
+        make_eval_step,
         make_optimizer,
         make_train_step,
     )
@@ -62,10 +70,26 @@ def main(argv=None):
     if cfg.resume or cfg.load_model:
         path = cfg.load_model or os.path.join(cfg.save_dir, "model_last")
         if os.path.exists(path):
-            state, start_epoch = ckpt.load_train_state(path, state)
-            logger.write(f"resumed from {path} at epoch {start_epoch}")
+            state, start_epoch = ckpt.load_train_state(
+                path, state, steps_per_epoch)
+            logger.write(f"resumed from {path} at epoch {start_epoch} "
+                         f"(step {int(state.step)})")
 
+    # periodic validation (reference train.py:104-107): val losses every
+    # val_intervals epochs through the jitted eval step
+    val_loader = None
+    eval_fn = None
     mesh = make_mesh()
+    if 0 < cfg.val_intervals <= cfg.num_epochs:
+        try:
+            val_ds = dataset_cls(cfg, "val", data_dir=os.path.join(
+                extras["data_dir"], _dataset_dirname(cfg)))
+            val_loader = DataLoader(val_ds, cfg.batch_size, shuffle=False,
+                                    num_workers=extras["num_workers"])
+            eval_fn = make_eval_step(model, cfg, mesh)
+        except (FileNotFoundError, KeyError) as e:
+            logger.write(f"no val split available ({e}); skipping periodic val")
+
     step_fn = make_train_step(model, cfg, tx, mesh)
     logger.write(f"training on mesh {mesh} | {steps_per_epoch} steps/epoch")
 
@@ -93,7 +117,8 @@ def main(argv=None):
 
         ckpt.save_checkpoint(
             os.path.join(cfg.save_dir, "model_last"), state.params,
-            state.batch_stats, opt_state=None, epoch=epoch,
+            state.batch_stats, opt_state=state.opt_state, epoch=epoch,
+            step=int(state.step),
             extra={"s_det": state.s_det, "s_id": state.s_id},
         )
         if cfg.save_all or epoch in cfg.save_point or epoch in cfg.lr_step:
@@ -102,8 +127,46 @@ def main(argv=None):
                 state.batch_stats, epoch=epoch,
                 extra={"s_det": state.s_det, "s_id": state.s_id},
             )
+        if (val_loader is not None and cfg.val_intervals > 0
+                and epoch % cfg.val_intervals == 0):
+            vagg = {}
+            for batch in val_loader:
+                batch = {k: batch[k] for k in (batch_keys or
+                                               _training_keys(batch, cfg))}
+                batch = shard_batch(batch, mesh)
+                vstats = eval_fn(state, batch)
+                for k, v in vstats.items():
+                    vagg.setdefault(k, []).append(float(v))
+            vmsg = " ".join(f"{k} {np.mean(v):.4f}"
+                            for k, v in sorted(vagg.items()))
+            logger.write(f"epoch {epoch} VAL {vmsg}")
+            for k, v in vagg.items():
+                logger.scalar_summary(f"val_{k}", float(np.mean(v)), epoch)
     logger.write("training done")
     logger.close()
+
+    # --eval_val: end with the real tracking metrics table
+    # (MOTA/IDF1/... via dataset.run_eval, reference train.py:106-107)
+    if cfg.eval_val:
+        return _run_tracking_eval(argv, cfg)
+
+
+def _run_tracking_eval(argv, cfg):
+    """Route the current checkpoint through the full test flow (tracking
+    inference + dataset.run_eval).  This is train.py's --test / --eval_val
+    evaluation surface."""
+    import importlib.util
+    import sys
+
+    args = list(argv) if argv is not None else list(sys.argv[1:])
+    if not cfg.load_model:
+        args += ["--load_model", os.path.join(cfg.save_dir, "model_last")]
+    spec = importlib.util.spec_from_file_location(
+        "_deft_test_entry",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "test.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.main(args)
 
 
 def _dataset_dirname(cfg):
