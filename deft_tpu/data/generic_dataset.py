@@ -46,24 +46,31 @@ def color_aug(data_rng: np.random.RandomState, image: np.ndarray):
     """In-place eigen-lighting + brightness/contrast/saturation jitter.
 
     Matches the reference's (CornerNet-derived) augmentation; `image` is
-    float BGR in [0, 1].
+    float BGR in [0, 1].  All three jitters are affine in (image, gs,
+    gs_mean) with gs fixed up front, so their shuffled composition is folded
+    symbolically into ONE fused pass (same math, ~3x fewer full-image
+    sweeps -- this runs per sample per frame in the input pipeline).
     """
     functions = ["brightness", "contrast", "saturation"]
     random.shuffle(functions)
     gs = _grayscale(image)
     gs_mean = gs.mean()
+    # compose: image' = A*image + B*gs + C  (per shuffled application order)
+    A, B, C = 1.0, 0.0, 0.0
     for f in functions:
         alpha = 1.0 + data_rng.uniform(low=-0.4, high=0.4)
-        if f == "brightness":
-            image *= alpha
-        elif f == "contrast":
-            image *= alpha
-            image += (1 - alpha) * gs_mean
-        else:
-            image *= alpha
-            image += (1 - alpha) * gs[:, :, None]
-    alpha = data_rng.normal(scale=0.1, size=(3,))
-    image += EIG_VEC @ (EIG_VAL * alpha)
+        A *= alpha
+        B *= alpha
+        C *= alpha
+        if f == "contrast":
+            C += (1.0 - alpha) * gs_mean
+        elif f == "saturation":
+            B += 1.0 - alpha
+    lighting = EIG_VEC @ (EIG_VAL * data_rng.normal(scale=0.1, size=(3,)))
+    image *= A
+    if B != 0.0:
+        image += (np.float32(B) * gs)[:, :, None]
+    image += (np.float32(C) + lighting.astype(np.float32))
 
 
 class GenericDataset:
@@ -100,13 +107,37 @@ class GenericDataset:
 
     # ---- raw IO -------------------------------------------------------------
 
+    # decoded-frame LRU: tracking samples re-read each frame ~3x (current,
+    # pre-pair, AFE-pair, across neighboring samples); capped by byte budget
+    _frame_cache_budget = 192 * 1024 * 1024
+
     def _load_image_anns(self, img_id):
         import cv2
 
         info = self.coco.load_img(img_id)
         img_path = os.path.join(self.img_dir, info["file_name"])
         anns = [dict(a) for a in self.coco.load_anns_for_img(img_id)]
-        img = cv2.imread(img_path)
+        cache = getattr(self, "_frame_cache", None)
+        if cache is None:
+            from collections import OrderedDict
+
+            cache = self._frame_cache = OrderedDict()
+            self._frame_cache_bytes = 0
+            self._frame_cache_lock = __import__("threading").Lock()
+        with self._frame_cache_lock:
+            img = cache.get(img_id)
+            if img is not None:
+                cache.move_to_end(img_id)
+        if img is None:
+            img = cv2.imread(img_path)
+            if img is not None:
+                with self._frame_cache_lock:
+                    if img_id not in cache:
+                        cache[img_id] = img
+                        self._frame_cache_bytes += img.nbytes
+                        while self._frame_cache_bytes > self._frame_cache_budget:
+                            _, old = cache.popitem(last=False)
+                            self._frame_cache_bytes -= old.nbytes
         return img, anns, info, img_path
 
     def _load_data(self, index):

@@ -323,6 +323,52 @@ class Detector:
         self.timers.add("tot", time.time() - t0)
         return online
 
+    def run_multi(self, images_or_paths, metas=None, image_infos=None,
+                  materialize=None):
+        """Batched multi-camera step: run N same-shape frames (the nuScenes
+        6-sensor rig of one sample, nuscenes.py:26-59 / SURVEY §5) through
+        ONE device program, then the host branch per camera in order.
+
+        Semantically identical to N sequential ``run`` calls -- the
+        detect+embed program is batched over the camera axis (one dispatch,
+        one MXU-friendly [6, H, W, 3] batch) while tracker updates stay
+        ordered.  Returns the list of per-camera online-track lists.
+
+        ``materialize``: optional fn applied to each camera's online list
+        IMMEDIATELY after that camera's tracker update.  Track objects are
+        live and mutated by later cameras' updates (exactly as they would be
+        by later sequential ``run`` calls), so callers that serialize tracks
+        must do it per camera through this hook, not after return.
+        """
+        import cv2
+
+        n = len(images_or_paths)
+        metas = metas or [{}] * n
+        image_infos = image_infos or [None] * n
+        batch, b_metas = [], []
+        for img, meta in zip(images_or_paths, metas):
+            if isinstance(img, str):
+                img = cv2.imread(img)
+            images, meta = self.pre_process(img, 1.0, dict(meta or {}))
+            batch.append(images[0])
+            b_metas.append(meta)
+        t2 = time.time()
+        dets, emb = self.process(np.stack(batch), b_metas[0])
+        self.timers.add("net", time.time() - t2)
+
+        online_per_cam = []
+        for b in range(n):
+            dets_b = {k: v[b: b + 1] for k, v in dets.items()}
+            results = self.post_process(dets_b, b_metas[b])
+            emb_b = emb[b][: len(results)]
+            if self.dataset == "nuscenes":
+                online = self._update_nuscenes(results, emb_b, image_infos[b])
+            else:
+                online = self.tracker.update(results, emb_b)
+            online_per_cam.append(materialize(online) if materialize
+                                  else online)
+        return online_per_cam
+
     # ---- --debug board (detector.py:585-668 semantics, headless save) -----
 
     def show_debug(self, image, images, results, online):

@@ -107,14 +107,22 @@ class DEFTNet(nn.Module):
     with_pre_hm: bool = False
     align_corners: bool = True
     depth_scale: float = 1.0
+    dla_depth: str = "34"  # key into dla.DLA_PLANS (reference dla.py:414-496)
     dtype: object = None   # compute dtype for trunk/heads/selectors
 
     def setup(self):
+        from deft_tpu.models.dla import DLA_PLANS
+
+        levels, channels, block, residual_root = DLA_PLANS[self.dla_depth]
         self.trunk = DLASeg(
             node_type=self.dla_node,
             offset_range=self.dcn_offset_range,
             with_pre_img=self.with_pre_img,
             with_pre_hm=self.with_pre_hm,
+            levels=levels,
+            channels=channels,
+            block=block,
+            residual_root=residual_root,
             dtype=self.dtype,
             name="trunk",
         )

@@ -27,6 +27,23 @@ from deft_tpu.models.layers import BN_EPS, BN_MOMENTUM, ConvBNReLU, DepthwiseCon
 DLA34_LEVELS = (1, 1, 1, 2, 2, 1)
 DLA34_CHANNELS = (16, 32, 64, 128, 256, 512)
 
+# depth -> (levels, channels, block, residual_root); the reference's
+# dla34..dla169 constructors (dla.py:414-496; selectable via --arch dla_<d>).
+# "x"-suffixed (BottleneckX) variants use string keys: dla.py maps arch
+# numbers only, so plain depths are what --arch reaches; the X plans are
+# exposed for completeness via create_dla_plan("60x") etc.
+DLA_PLANS = {
+    "34": (DLA34_LEVELS, DLA34_CHANNELS, "basic", False),
+    "46_c": ((1, 1, 1, 2, 2, 1), (16, 32, 64, 64, 128, 256), "bottleneck", False),
+    "46x_c": ((1, 1, 1, 2, 2, 1), (16, 32, 64, 64, 128, 256), "bottleneckx", False),
+    "60x_c": ((1, 1, 1, 2, 3, 1), (16, 32, 64, 64, 128, 256), "bottleneckx", False),
+    "60": ((1, 1, 1, 2, 3, 1), (16, 32, 128, 256, 512, 1024), "bottleneck", False),
+    "60x": ((1, 1, 1, 2, 3, 1), (16, 32, 128, 256, 512, 1024), "bottleneckx", False),
+    "102": ((1, 1, 1, 3, 4, 1), (16, 32, 128, 256, 512, 1024), "bottleneck", True),
+    "102x": ((1, 1, 1, 3, 4, 1), (16, 32, 128, 256, 512, 1024), "bottleneckx", True),
+    "169": ((1, 1, 2, 3, 5, 1), (16, 32, 128, 256, 512, 1024), "bottleneck", True),
+}
+
 
 class BasicBlock(nn.Module):
     """Two 3x3 conv-BN with residual add (dla.py:47-87)."""
@@ -45,6 +62,43 @@ class BasicBlock(nn.Module):
         out = ConvBNReLU(self.features, 3, 1, self.dilation, relu=False,
                          dtype=self.dtype, name="conv2")(out, train)
         return nn.relu(out + residual)
+
+
+class BottleneckBlock(nn.Module):
+    """1x1 -> 3x3 -> 1x1 residual block (dla.py:88-130 Bottleneck, expansion
+    2); ``cardinality > 0`` gives the grouped-conv BottleneckX variant
+    (dla.py:133-181, bottle = features * cardinality // 32)."""
+
+    features: int
+    stride: int = 1
+    dilation: int = 1
+    cardinality: int = 0
+    dtype: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, residual=None, train: bool = False):
+        if residual is None:
+            residual = x
+        bottle = (self.features * self.cardinality // 32 if self.cardinality
+                  else self.features // 2)
+        out = ConvBNReLU(bottle, 1, dtype=self.dtype, name="conv1")(x, train)
+        out = ConvBNReLU(bottle, 3, self.stride, self.dilation,
+                         groups=max(self.cardinality, 1), dtype=self.dtype,
+                         name="conv2")(out, train)
+        out = ConvBNReLU(self.features, 1, relu=False, dtype=self.dtype,
+                         name="conv3")(out, train)
+        return nn.relu(out + residual)
+
+
+def _make_block(block: str, features: int, stride: int, name: str, dtype=None):
+    if block == "basic":
+        return BasicBlock(features, stride, dtype=dtype, name=name)
+    if block == "bottleneck":
+        return BottleneckBlock(features, stride, dtype=dtype, name=name)
+    if block == "bottleneckx":
+        return BottleneckBlock(features, stride, cardinality=32, dtype=dtype,
+                               name=name)
+    raise ValueError(f"unknown dla block {block}")
 
 
 class Root(nn.Module):
@@ -74,6 +128,7 @@ class Tree(nn.Module):
     level_root: bool = False
     root_dim: int = 0
     root_residual: bool = False
+    block: str = "basic"
     dtype: Optional[str] = None
 
     @nn.compact
@@ -96,21 +151,23 @@ class Tree(nn.Module):
             children.append(bottom)
 
         if self.levels == 1:
-            x1 = BasicBlock(self.features, self.stride, dtype=self.dtype,
-                            name="tree1")(x, residual, train)
-            x2 = BasicBlock(self.features, 1, dtype=self.dtype,
-                            name="tree2")(x1, None, train)
+            x1 = _make_block(self.block, self.features, self.stride,
+                             "tree1", self.dtype)(x, residual, train)
+            x2 = _make_block(self.block, self.features, 1,
+                             "tree2", self.dtype)(x1, None, train)
             return Root(self.features, self.root_residual, dtype=self.dtype,
                         name="root")([x2, x1] + children, train)
         x1 = Tree(
             self.levels - 1, self.features, self.in_features, self.stride,
-            root_residual=self.root_residual, dtype=self.dtype, name="tree1",
+            root_residual=self.root_residual, block=self.block,
+            dtype=self.dtype, name="tree1",
         )(x, None, train)
         children.append(x1)
         return Tree(
             self.levels - 1, self.features, self.features, 1,
             root_dim=root_dim + self.features,
-            root_residual=self.root_residual, dtype=self.dtype, name="tree2",
+            root_residual=self.root_residual, block=self.block,
+            dtype=self.dtype, name="tree2",
         )(x1, children, train)
 
 
@@ -120,6 +177,7 @@ class DLA(nn.Module):
     levels: Sequence[int] = DLA34_LEVELS
     channels: Sequence[int] = DLA34_CHANNELS
     residual_root: bool = False
+    block: str = "basic"
     with_pre_img: bool = False
     with_pre_hm: bool = False
     dtype: Optional[str] = None
@@ -145,16 +203,20 @@ class DLA(nn.Module):
         outputs.append(x)
 
         x = Tree(self.levels[2], ch[2], ch[1], 2, level_root=False,
-                 root_residual=self.residual_root, dtype=dt, name="level2")(x, None, train)
+                 root_residual=self.residual_root, block=self.block,
+                 dtype=dt, name="level2")(x, None, train)
         outputs.append(x)
         x = Tree(self.levels[3], ch[3], ch[2], 2, level_root=True,
-                 root_residual=self.residual_root, dtype=dt, name="level3")(x, None, train)
+                 root_residual=self.residual_root, block=self.block,
+                 dtype=dt, name="level3")(x, None, train)
         outputs.append(x)
         x = Tree(self.levels[4], ch[4], ch[3], 2, level_root=True,
-                 root_residual=self.residual_root, dtype=dt, name="level4")(x, None, train)
+                 root_residual=self.residual_root, block=self.block,
+                 dtype=dt, name="level4")(x, None, train)
         outputs.append(x)
         x = Tree(self.levels[5], ch[5], ch[4], 2, level_root=True,
-                 root_residual=self.residual_root, dtype=dt, name="level5")(x, None, train)
+                 root_residual=self.residual_root, block=self.block,
+                 dtype=dt, name="level5")(x, None, train)
         outputs.append(x)
         return outputs
 
@@ -317,6 +379,8 @@ class DLASeg(nn.Module):
     with_pre_hm: bool = False
     channels: Sequence[int] = DLA34_CHANNELS
     levels: Sequence[int] = DLA34_LEVELS
+    block: str = "basic"
+    residual_root: bool = False
     dtype: Optional[str] = None
 
     @nn.compact
@@ -326,6 +390,7 @@ class DLASeg(nn.Module):
         first_level = int(np.log2(self.down_ratio))
         base_outs = DLA(
             self.levels, self.channels,
+            residual_root=self.residual_root, block=self.block,
             with_pre_img=self.with_pre_img, with_pre_hm=self.with_pre_hm,
             dtype=self.dtype, name="base",
         )(x, pre_img, pre_hm, train)

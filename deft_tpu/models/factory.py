@@ -22,8 +22,13 @@ def create_model(arch: str, cfg: Config) -> DEFTNet:
     num_layers = int(arch[arch.find("_") + 1:]) if "_" in arch else 0
     name = arch[: arch.find("_")] if "_" in arch else arch
     if name == "dla":
-        if num_layers != 34:
-            raise NotImplementedError(f"dla_{num_layers} not yet ported; use dla_34")
+        from deft_tpu.models.dla import DLA_PLANS
+
+        depth = str(num_layers) if num_layers else "34"
+        if depth not in DLA_PLANS:
+            raise ValueError(
+                f"dla_{num_layers} has no plan; available: "
+                f"{sorted(DLA_PLANS)} (reference dla.py:414-496)")
         import jax.numpy as jnp
 
         dtype = None if cfg.compute_dtype in ("float32", "") else jnp.dtype(
@@ -45,6 +50,7 @@ def create_model(arch: str, cfg: Config) -> DEFTNet:
             with_pre_hm=cfg.pre_hm,
             align_corners=cfg.align_corners,
             depth_scale=cfg.depth_scale,
+            dla_depth=depth,
             dtype=dtype,
         )
     if name == "generic":

@@ -32,6 +32,7 @@ class ConvBNReLU(nn.Module):
     dilation: int = 1
     relu: bool = True
     use_bias: bool = False
+    groups: int = 1               # torch Conv2d(groups=...) for BottleneckX
     dtype: Optional[str] = None   # compute dtype (params stay float32)
 
     @nn.compact
@@ -43,6 +44,7 @@ class ConvBNReLU(nn.Module):
             padding=torch_pad(self.kernel, self.dilation),
             kernel_dilation=(self.dilation, self.dilation),
             use_bias=self.use_bias,
+            feature_group_count=self.groups,
             dtype=self.dtype,
             name="conv",
         )(x)

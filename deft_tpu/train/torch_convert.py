@@ -144,6 +144,8 @@ class TorchConverter:
     def basic_block(self, dst, sd, src):
         self.conv_bn(dst + ("conv1",), sd, f"{src}.conv1", f"{src}.bn1")
         self.conv_bn(dst + ("conv2",), sd, f"{src}.conv2", f"{src}.bn2")
+        # Bottleneck(X) blocks carry a third conv (dla.py:88-181)
+        self.conv_bn(dst + ("conv3",), sd, f"{src}.conv3", f"{src}.bn3")
 
     def tree(self, dst, sd, src, levels: int):
         if levels == 1:
@@ -172,27 +174,31 @@ class TorchConverter:
             self.node(dst + (f"node_{j}",), sd, f"{src}.node_{j}", node_type)
             self.up(dst + (f"up_{j}",), sd, f"{src}.up_{j}")
 
-    def dla34_base(self, sd, prefix: str = "base."):
-        """DLA-34 trunk mapping.  ``prefix="base."`` for DLASeg checkpoints;
+    def dla34_base(self, sd, prefix: str = "base.", levels=(1, 1, 1, 2, 2, 1)):
+        """DLA trunk mapping.  ``prefix="base."`` for DLASeg checkpoints;
         ``prefix=""`` for a bare imagenet ``dla34`` state_dict (the layout
-        model_zoo serves for dla.py:433-441 pretrained init)."""
+        model_zoo serves for dla.py:433-441 pretrained init).  ``levels`` is
+        the depth plan (DLA_PLANS) for non-34 variants."""
         base = ("trunk", "base")
         self.conv_bn(base + ("base_layer",), sd, f"{prefix}base_layer.0",
                      f"{prefix}base_layer.1")
         for name in ("pre_img_layer", "pre_hm_layer"):
             self.conv_bn(base + (name,), sd, f"{prefix}{name}.0",
                          f"{prefix}{name}.1")
-        self.conv_bn(base + ("level0_conv0",), sd, f"{prefix}level0.0",
-                     f"{prefix}level0.1")
-        self.conv_bn(base + ("level1_conv0",), sd, f"{prefix}level1.0",
-                     f"{prefix}level1.1")
-        for lvl, levels in (("level2", 1), ("level3", 2), ("level4", 2),
-                            ("level5", 1)):
-            self.tree(base + (lvl,), sd, f"{prefix}{lvl}", levels)
+        # level0/level1 repeat [conv, bn, relu] triplets levels[i] times
+        for li in (0, 1):
+            for i in range(levels[li]):
+                self.conv_bn(base + (f"level{li}_conv{i}",), sd,
+                             f"{prefix}level{li}.{3 * i}",
+                             f"{prefix}level{li}.{3 * i + 1}")
+        for lvl, depth in (("level2", levels[2]), ("level3", levels[3]),
+                           ("level4", levels[4]), ("level5", levels[5])):
+            self.tree(base + (lvl,), sd, f"{prefix}{lvl}", depth)
 
-    def convert_dla34(self, sd, heads: Dict[str, int], node_type: str = "dcn"):
+    def convert_dla34(self, sd, heads: Dict[str, int], node_type: str = "dcn",
+                      levels=(1, 1, 1, 2, 2, 1)):
         # backbone
-        self.dla34_base(sd, "base.")
+        self.dla34_base(sd, "base.", levels)
 
         # dla_up: ida_0 (2 ch), ida_1 (3 ch), ida_2 (4 ch)
         for i, n in enumerate((2, 3, 4)):
@@ -332,7 +338,12 @@ def convert_torch_imagenet_backbone(path_or_sd, cfg):
     conv = TorchConverter(cfg.dataset)
     arch = cfg.arch.split("_")[0]
     if "base_layer.0.weight" in sd:
-        conv.dla34_base(sd, prefix="")
+        from deft_tpu.models.dla import DLA_PLANS
+
+        depth = (cfg.arch.split("_", 1)[1]
+                 if cfg.arch.startswith("dla_") else "34")
+        levels = DLA_PLANS.get(depth, DLA_PLANS["34"])[0]
+        conv.dla34_base(sd, prefix="", levels=levels)
     else:
         num_layers = (int(cfg.arch.split("_")[1])
                       if "_" in cfg.arch and arch in ("res", "resdcn")
@@ -364,7 +375,13 @@ def convert_torch_checkpoint(path_or_sd, cfg):
             sd, cfg.heads, num_layers, dcn=(arch == "resdcn")
         )
     else:
-        params_t, stats_t = conv.convert_dla34(sd, cfg.heads, cfg.dla_node)
+        from deft_tpu.models.dla import DLA_PLANS
+
+        depth = (cfg.arch.split("_", 1)[1]
+                 if cfg.arch.startswith("dla_") else "34")
+        levels = DLA_PLANS.get(depth, DLA_PLANS["34"])[0]
+        params_t, stats_t = conv.convert_dla34(sd, cfg.heads, cfg.dla_node,
+                                               levels)
 
     model = create_model(cfg.arch, cfg)
     params, stats = init_model(model, cfg)

@@ -23,13 +23,20 @@ from collections import defaultdict
 import numpy as np
 
 
-def group_videos(dataset):
-    """video_id -> image infos sorted by frame_id (sensor-aware)."""
+def group_videos(dataset, sample_major=False):
+    """video_id -> image infos sorted by frame_id (sensor-aware).
+
+    ``sample_major`` orders all sensors of frame t before frame t+1 -- the
+    reference's nuScenes ordering (convert_nuScenes.py iterates samples,
+    then sensors; test.py consumes the json order)."""
     videos = defaultdict(list)
     for info in dataset.coco.dataset["images"]:
         videos[info["video_id"]].append(info)
     for infos in videos.values():
-        infos.sort(key=lambda ii: (ii.get("sensor_id", 1), ii["frame_id"]))
+        if sample_major:
+            infos.sort(key=lambda ii: (ii["frame_id"], ii.get("sensor_id", 1)))
+        else:
+            infos.sort(key=lambda ii: (ii.get("sensor_id", 1), ii["frame_id"]))
     return videos
 
 
@@ -96,7 +103,10 @@ def main(argv=None):
     import contextlib
 
     results = {}
-    videos = group_videos(dataset)
+    # nuScenes: sample-major order (reference json order) + the 6-camera rig
+    # batched through one device program per sample (SURVEY §5 / §7-10)
+    batch_rig = cfg.dataset == "nuscenes" and cfg.debug <= 0
+    videos = group_videos(dataset, sample_major=(cfg.dataset == "nuscenes"))
     t_start = time.time()
     n_frames = 0
     if cfg.profile:
@@ -120,6 +130,44 @@ def main(argv=None):
         probe = cv2.imread(os.path.join(dataset.img_dir, first["file_name"]))
         if probe is not None:
             detector.img_height, detector.img_width = probe.shape[:2]
+
+        if batch_rig:
+            from itertools import groupby
+
+            cls_default = 1
+            for fid, group in groupby(infos, key=lambda ii: ii["frame_id"]):
+                group = list(group)
+                imgs, g_metas, kept = [], [], []
+                for info in group:
+                    image = cv2.imread(
+                        os.path.join(dataset.img_dir, info["file_name"]))
+                    if image is None:
+                        continue
+                    g_metas.append({"calib": info["calib"]}
+                                   if "calib" in info else {})
+                    imgs.append(image)
+                    kept.append(info)
+                    n_frames += 1
+                    if writer is not None:
+                        frame_cache[info["id"]] = image
+                if not imgs:
+                    continue
+                online_list = detector.run_multi(
+                    imgs, g_metas, kept,
+                    materialize=lambda online: (
+                        tracks_to_results(online, cls_default), list(online)))
+                for info, (res, online) in zip(kept, online_list):
+                    results[info["id"]] = res
+                    if writer is not None:
+                        writer.write(plot_tracking(
+                            frame_cache.pop(info["id"]), online,
+                            frame_id=info["id"]))
+            if writer is not None:
+                writer.release()
+                writer = None
+            logger.write(f"video {video_id}: {len(infos)} frames done "
+                         f"(batched rig)")
+            continue
 
         pending_ids = []
         for info in infos:

@@ -225,3 +225,67 @@ def test_model_path_end_to_end(nus_root, nus_cfg, nus_dataset, nus_detector):
                 "car", "truck", "bus", "trailer", "pedestrian",
                 "motorcycle", "bicycle",
             )
+
+
+@pytest.mark.slow
+def test_batched_rig_matches_sequential(nus_root, nus_cfg, nus_detector):
+    """run_multi (the batched 6-camera rig program, here 2 cameras) must
+    produce the same tracks as sequential Detector.run calls in the same
+    sample-major order (reference nuScenes ordering)."""
+    import copy
+
+    import cv2
+    import jax.numpy as jnp
+
+    from deft_tpu.inference.detector import Detector
+
+    variables = copy.deepcopy(
+        {"params": nus_detector.variables["params"],
+         "batch_stats": nus_detector.variables["batch_stats"]}
+    )
+    bias = variables["params"]["head_hm"]["out"]["bias"]
+    variables["params"]["head_hm"]["out"]["bias"] = jnp.zeros_like(bias) + 1.5
+
+    with open(os.path.join(nus_root, "annotations", "val.json")) as f:
+        d = json.load(f)
+    infos = sorted(d["images"],
+                   key=lambda i: (i["frame_id"], i["sensor_id"]))[:6]
+    frames = {}
+    for info in infos:
+        img = cv2.imread(os.path.join(nus_root, "v1.0-trainval",
+                                      info["file_name"]))
+        assert img is not None
+        frames[info["id"]] = img
+
+    def snapshot(online):
+        return sorted(
+            (int(t.track_id), t.classe, round(float(t.score), 4),
+             tuple(np.round(np.asarray(t.ddd_submission, np.float64)[:3], 3)))
+            for t in online
+        )
+
+    det_seq = Detector(nus_cfg, model=nus_detector.model, variables=variables)
+    det_seq.reset_tracking()
+    seq_out = [snapshot(det_seq.run(frames[i["id"]], {"calib": i["calib"]},
+                                    image_info=i))
+               for i in infos]
+
+    det_bat = Detector(nus_cfg, model=nus_detector.model, variables=variables)
+    det_bat.reset_tracking()
+    bat_out = []
+    from itertools import groupby
+    for _, group in groupby(infos, key=lambda i: i["frame_id"]):
+        group = list(group)
+        # materialize per camera: track objects are live and mutated by the
+        # next camera's update, exactly as in the sequential path
+        online_list = det_bat.run_multi(
+            [frames[i["id"]] for i in group],
+            [{"calib": i["calib"]} for i in group],
+            group,
+            materialize=snapshot,
+        )
+        bat_out.extend(online_list)
+
+    assert len(seq_out) == len(bat_out)
+    for i, (s, b) in enumerate(zip(seq_out, bat_out)):
+        assert s == b, f"camera-frame {i}: sequential {s} != batched {b}"

@@ -405,3 +405,44 @@ def test_imagenet_backbone_conversion(torch_ref, converted):
     out, fmaps = model.apply(variables, jnp.zeros((1, 64, 64, 3)),
                              train=False)
     assert len(fmaps) == 13 and "hm" in out
+
+
+def test_dla60_trunk_parity():
+    """DLA depth variants (dla.py:444-496): golden trunk parity for dla_60
+    (Bottleneck blocks, level plan [1,1,1,2,3,1], channels up to 1024) --
+    reference torch DLA vs our flax DLA via the imagenet-style conversion."""
+    import torch
+
+    import jax.numpy as jnp
+
+    sys.path.insert(0, REFERENCE)
+    import model.networks.dla as dla_mod
+
+    torch.manual_seed(31)
+    opt = SimpleNamespace(pre_img=False, pre_hm=False)
+    tnet = dla_mod.DLA([1, 1, 1, 2, 3, 1], [16, 32, 128, 256, 512, 1024],
+                       block=dla_mod.Bottleneck, opt=opt)
+    tnet.eval()
+
+    from deft_tpu.config import mot_config
+    from deft_tpu.models import create_model
+    from deft_tpu.train.torch_convert import convert_torch_checkpoint
+
+    cfg = mot_config(arch="dla_60", input_h=64, input_w=64, dla_node="conv",
+                     align_corners=False)
+    sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+    variables = convert_torch_checkpoint(sd, cfg)   # bare-trunk detection
+    model = create_model(cfg.arch, cfg)
+
+    rng = np.random.RandomState(9)
+    x = rng.randn(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        t_levels = tnet(torch.from_numpy(x))
+    _, fmaps = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                           train=False)
+    assert len(fmaps) == 13
+    for i in range(6):
+        np.testing.assert_allclose(
+            np.asarray(fmaps[i]).transpose(0, 3, 1, 2), t_levels[i].numpy(),
+            rtol=1e-3, atol=1e-4, err_msg=f"base level {i} mismatch",
+        )
