@@ -105,6 +105,14 @@ class GenericDataset:
     def __len__(self):
         return len(self.images)
 
+    def __getstate__(self):
+        """Picklable for spawned loader workers: the decoded-frame cache and
+        its lock stay behind (each worker builds its own)."""
+        state = self.__dict__.copy()
+        for k in ("_frame_cache", "_frame_cache_lock", "_frame_cache_bytes"):
+            state.pop(k, None)
+        return state
+
     # ---- raw IO -------------------------------------------------------------
 
     # decoded-frame LRU: tracking samples re-read each frame ~3x (current,

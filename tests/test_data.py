@@ -2,9 +2,12 @@
 
 import json
 import os
+import sys
 
 import numpy as np
 import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 from deft_tpu.config import mot_config
 from deft_tpu.data.coco_index import CocoIndex
@@ -146,3 +149,46 @@ def test_trajectory_dataset(cfg, synth):
     assert traj[-1, 0] > traj[0, 0]
     # future dx positive
     assert (target[:, 0] > 0).all()
+
+
+def test_numpy_hugepage_madvise_disabled():
+    """Importing the package turns off numpy's MADV_HUGEPAGE (measured
+    30-70x elementwise stalls under THP defrag=madvise, see __init__)."""
+    try:
+        from numpy._core.multiarray import _get_madvise_hugepage
+    except ImportError:
+        from numpy.core.multiarray import _get_madvise_hugepage
+    assert _get_madvise_hugepage() is False
+
+
+def test_loader_process_pool(tmp_path):
+    """Forkserver worker-process mode: correct shapes, full epoch coverage,
+    pool reuse across epochs (workers stay jax-free by design)."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        from make_synthetic_mot import make_sequence
+        import convert_mot_to_coco as conv
+    finally:
+        sys.path.pop(0)
+    from deft_tpu.config import mot_config as mk
+    from deft_tpu.data.datasets import get_dataset
+
+    mot_dir = os.path.join(str(tmp_path), "mot17")
+    make_sequence(os.path.join(mot_dir, "train"), "SYN-01",
+                  n_frames=10, w=320, h=180, n_obj=2, seed=0)
+    conv.convert(mot_dir, "train", half=False)
+    cfg2 = mk(input_h=96, input_w=160, dataset_version="17trainval")
+    ds = get_dataset("mot")(cfg2, "train", data_dir=mot_dir)
+    dl = DataLoader(ds, batch_size=2, num_workers=2, seed=5,
+                    use_processes=True)
+    assert dl.use_processes
+    try:
+        for epoch in range(2):  # second epoch reuses the started pool
+            n = 0
+            for batch in dl:
+                assert batch["image"].shape == (2, 96, 160, 3)
+                assert np.isfinite(batch["image"]).all()
+                n += batch["image"].shape[0]
+            assert n == (len(ds) // 2) * 2
+    finally:
+        dl.close()
