@@ -157,12 +157,16 @@ class Config:
     mesh_axis_names: Tuple[str, ...] = ("data",)
     param_dtype: str = "float32"
     compute_dtype: str = "float32"            # bfloat16 for speed once validated
-    # DCN lowering: "onehot" (bilinear gather as a batched one-hot MXU
+    # DCN lowering: "hybrid" (default) picks the fastest kernel per layer
+    # shape: channel-major Pallas for C<=128 on TPU, onehot elsewhere
+    # (whole-model dla34-dcn forward on v5e bf16 544x960: onehot 30.6 ->
+    # hybrid 28.1 ms/frame; per-layer table in ops/pallas_dcn.py docstring)
+    # | "onehot" (bilinear gather as a batched one-hot MXU
     # matmul -- fastest measured on v5e, exact for offsets within
     # +-dcn_offset_range) | "gather" (per-pixel XLA gather, exact for ANY
     # offset) | "shift" | "pallas".  Whole-model frame_step on v5e bf16:
     # onehot 1.57 ms/frame vs gather 2.05 vs shift 2.22.
-    dcn_impl: str = "onehot"
+    dcn_impl: str = "hybrid"
     # offset clamp for the non-gather impls; trained DEFT offsets concentrate
     # well inside +-4 px, and the clamp sets the onehot/shift kernels' halo
     # size and unrolled-shift count (compile + run time grow with it)

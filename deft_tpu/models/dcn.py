@@ -126,23 +126,37 @@ class DCNv2(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
 
-        if self.impl in ("shift", "pallas", "onehot"):
+        if self.impl in ("shift", "pallas", "onehot", "pallas_cm", "hybrid"):
             from deft_tpu.ops.pallas_dcn import (
+                deform_conv_hybrid,
                 deform_conv_onehot,
+                deform_conv_pallas_cm,
                 deform_conv_pallas_tap,
                 deform_conv_shift_xla,
             )
 
             fn = {"shift": deform_conv_shift_xla,
                   "pallas": deform_conv_pallas_tap,
+                  "pallas_cm": deform_conv_pallas_cm,
+                  "hybrid": deform_conv_hybrid,
                   "onehot": deform_conv_onehot}[self.impl]
+            # the Pallas kernels run unbatched (inference frame programs scan
+            # frames one at a time, so B==1 there); under a real batch the
+            # hybrid routes through onehot rather than relying on Mosaic's
+            # vmap batching rule in the training hot path
+            if b > 1 and self.impl in ("pallas_cm", "hybrid"):
+                fn = deform_conv_onehot
             w = (weight.astype(self.dtype) if self.dtype is not None
                  else weight)
-            out = jax.vmap(
-                lambda xi, oi, mi: fn(xi, oi, mi, w, bias,
-                                      radius=self.offset_range,
-                                      kernel=self.kernel)
-            )(x, offsets, mask)
+            if b == 1:
+                out = fn(x[0], offsets[0], mask[0], w, bias,
+                         radius=self.offset_range, kernel=self.kernel)[None]
+            else:
+                out = jax.vmap(
+                    lambda xi, oi, mi: fn(xi, oi, mi, w, bias,
+                                          radius=self.offset_range,
+                                          kernel=self.kernel)
+                )(x, offsets, mask)
             return out.astype(self.dtype) if self.dtype is not None else out
 
         patches = jax.vmap(

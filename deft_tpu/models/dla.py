@@ -279,7 +279,8 @@ def _make_node(node_type: str, features: int, name: str, dtype=None,
                offset_range: int = 4):
     if node_type.startswith("dcn"):
         impl = {"dcn": "gather", "dcn_shift": "shift",
-                "dcn_pallas": "pallas", "dcn_onehot": "onehot"}[node_type]
+                "dcn_pallas": "pallas", "dcn_onehot": "onehot",
+                "dcn_pallas_cm": "pallas_cm", "dcn_hybrid": "hybrid"}[node_type]
         return DeformNode(features, dtype=dtype, dcn_impl=impl,
                           dcn_offset_range=offset_range, name=name)
     if node_type == "conv":

@@ -35,13 +35,52 @@ a batched one-hot MATMUL -- the horizontal hat function evaluated on an
 iota forms a [W, W+2p] left operand per row, so the gather is dense MXU
 work, and the vertical axis needs only 2r+5 free dim-0 row slices.  Taps
 are batched into the einsum (2r+5 contractions per layer total), keeping
-the XLA compile of the dcn-node TRAIN step in minutes.  Measured at the
-whole-model level (fused frame_step, v5e bf16 544x960, comparative chained
-runs): gather 2.05 -> onehot 1.57 ms/frame; shift 2.22.  onehot is the
-default ``dcn_impl``.  A Pallas port of the same algorithm (VMEM-resident
-slab + in-kernel hat generation) is the remaining headroom (~est. 2x on
-the DCN share); not pursued while the per-frame device time (~1.6 ms) sits
-30x under this environment's transfer floor.
+the XLA compile of the dcn-node TRAIN step in minutes.  onehot is the
+default ``dcn_impl``.
+
+Round-3 measurements (v5e, per-layer, N-iteration scan chained inside ONE
+jit so the relay RTT cancels -- the round-2 "1.6 ms/frame" whole-model
+figure was an artifact of block_until_ready not reflecting completion
+through this environment's relay; true whole-model frame time is ~35 ms,
+~95% of it DCN):
+
+  layer (HxWxC->Cout, count/model)   pallas_cm r=4   onehot r=4   conv3x3
+  136x240x64->64   x10                  2.839          3.477        0.139
+  68x120x128->64   x8                   1.032          1.283        0.034
+  68x120x128->128  x4                   1.039          1.247        0.018
+  34x60x256->128   x4                   1.089          0.390        0.002
+  34x60x256->256   x2                   1.109          0.397        0.013
+  34x60x256->64    x2                   1.097          0.384        0.005
+  17x30x512->256   x2                   1.308          0.132        0.008
+  model-weighted total                 52.2           53.4          1.8 ms
+
+``deform_conv_pallas_cm`` (below) is the round-3 kernel: a CHANNEL-MAJOR
+[H, C, W] layout makes every column shift a lane slice and every row shift
+a sublane slice of one VMEM-resident slab, with the (2r+3)^2 hat-weighted
+shift-FMAs computed per column-shift from one scratch copy (the Mosaic
+copy-per-shift pathology of the round-1 tap-grid kernel amortizes to ONE
+copy per column shift shared by all taps and row shifts).  It beats the
+onehot einsum on the large-spatial/small-C layers (where hat-operand
+construction dominates onehot) and loses on the small-spatial/big-C ones
+(where the MXU einsum is nearly free) -- hence ``deform_conv_hybrid``
+(the default ``dcn_impl``) picks per-shape (c <= 128 -> pallas_cm, else
+onehot), cutting the model-weighted DCN total to 44.2 ms in the per-layer
+scan harness and the WHOLE-MODEL dla34-dcn forward from 30.6 to 28.1
+ms/frame (v5e bf16 544x960, chained-scan differential, reproducible to
++-0.01 ms across interleaved reps).  tile_h=8 is the optimum (th=16
+measured 3.22/1.11 ms on the two large layers vs 2.84/1.03).  Gradients
+flow through a custom_vjp whose backward is the VJP of the numerically
+equivalent deform_conv_shift_xla, so ``dcn_impl=hybrid`` also trains.
+
+Why neither kernel approaches the 1.8 ms conv floor: the bilinear hat
+weight w(rs,cs) = wy(rs)*wx(cs) depends on the OUTPUT pixel through the
+learned per-pixel offsets, so the vertical/horizontal mixes cannot be
+factored into separable passes (each would need the other's output-pixel
+index); the (2r+3)^2-tap product space is inherent to any static-shift
+formulation, and a 4-tap formulation needs per-pixel gathers that defeat
+the TPU's vector memory.  The VPU-bound floor of the product-space kernel
+at the 136x240x64 layer is ~1.2 ms (2.27 G f32 FMA-pairs / 3.7 T/s);
+pallas_cm measures 2.8 ms.
 """
 
 from __future__ import annotations
@@ -513,3 +552,155 @@ def deform_conv_pallas_onehot(x, offsets, mask, weight, bias,
         weight = wfull
     out = patches.astype(weight.dtype) @ weight + bias
     return out.reshape(h, w, cout).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 kernel: channel-major shift DCN.  Layout [H, C, W] puts W on the
+# lanes and C on the sublanes, so a column shift is ONE lane slice of a
+# scratch copy shared by every (tap, row-shift) pair, and a row shift is a
+# sublane slice -- no per-shift physical copies, no hat-operand matmuls.
+# Wins on large-spatial/small-C layers; see module docstring for numbers.
+# ---------------------------------------------------------------------------
+
+def _cm_kernel(xp_hbm, dy_ref, dx_ref, mask_ref, out_ref,
+               slab_ref, copy_ref, acc_ref, sem, *, radius, kernel, tile_h,
+               width, pad_rows, col0):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kk = kernel * kernel
+    r = radius
+    i = pl.program_id(0)
+
+    cp = pltpu.make_async_copy(
+        xp_hbm.at[pl.ds(i * tile_h, tile_h + 2 * pad_rows)], slab_ref, sem)
+    cp.start()
+    cp.wait()
+
+    ky = [k // kernel - kernel // 2 for k in range(kk)]
+    kx = [k % kernel - kernel // 2 for k in range(kk)]
+    dy = [jnp.clip(dy_ref[k], -r, r) for k in range(kk)]    # [th, W] f32
+    dx = [jnp.clip(dx_ref[k], -r, r) for k in range(kk)]
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    for cs in range(-r - 2, r + 3):
+        # ONE lane-shift copy per absolute column shift; scratch-resident so
+        # the unrolled body reuses one buffer instead of stacking values
+        copy_ref[...] = slab_ref[:, :, col0 + cs: col0 + cs + width]
+        for k in range(kk):
+            if abs(cs - kx[k]) > r + 1:
+                continue
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(dx[k] - (cs - kx[k])))
+            for rs in range(-r - 2, r + 3):
+                if abs(rs - ky[k]) > r + 1:
+                    continue
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy[k] - (rs - ky[k])))
+                w2 = (wx * wy)[:, None, :]                   # [th, 1, W]
+                rows = copy_ref[pad_rows + rs: pad_rows + rs + tile_h]
+                acc_ref[k] = acc_ref[k] + rows.astype(jnp.float32) * w2
+
+    for k in range(kk):
+        a = acc_ref[k] * mask_ref[k][:, None, :]
+        out_ref[k] = a.astype(out_ref.dtype)
+
+
+def deform_conv_pallas_cm(x, offsets, mask, weight, bias, radius: int = 4,
+                          kernel: int = 3, tile_h: int = 8,
+                          interpret: bool = False):
+    """Channel-major Pallas shift-DCN.  Same contract as
+    deform_conv_shift_xla; exact within the +-radius clamp (bf16 slab)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h, w, c = x.shape
+    kk = kernel * kernel
+    cout = weight.shape[1]
+    r = radius
+    pad = r + 2
+    th = tile_h
+    h_pad = -(-h // th) * th
+    col0 = pad
+    ws = -(-(w + 2 * pad) // 128) * 128   # DMA slices need lane-aligned dims
+
+    # channel-major padded input [HS, C, WS]
+    xp = jnp.pad(x, ((pad, pad + (h_pad - h)),
+                     (pad, pad + (ws - w - 2 * pad)), (0, 0)))
+    xp = jnp.transpose(xp, (0, 2, 1)).astype(jnp.bfloat16)   # [HS, C, WS]
+
+    offsets = jnp.pad(offsets, ((0, h_pad - h), (0, 0), (0, 0), (0, 0)))
+    mask = jnp.pad(mask, ((0, h_pad - h), (0, 0), (0, 0)))
+    dy_t = jnp.transpose(offsets[..., 0], (2, 0, 1)).astype(jnp.float32)
+    dx_t = jnp.transpose(offsets[..., 1], (2, 0, 1)).astype(jnp.float32)
+    mask_t = jnp.transpose(mask, (2, 0, 1)).astype(jnp.float32)
+    patches = pl.pallas_call(
+        functools.partial(
+            _cm_kernel, radius=r, kernel=kernel, tile_h=th, width=w,
+            pad_rows=pad, col0=col0),
+        out_shape=jax.ShapeDtypeStruct((kk, h_pad, c, w), jnp.bfloat16),
+        grid=(h_pad // th,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((kk, th, w), lambda i: (0, i, 0)),
+            pl.BlockSpec((kk, th, w), lambda i: (0, i, 0)),
+            pl.BlockSpec((kk, th, w), lambda i: (0, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((kk, th, c, w), lambda i: (0, i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2 * pad, c, ws), jnp.bfloat16),
+            pltpu.VMEM((th + 2 * pad, c, w), jnp.bfloat16),
+            pltpu.VMEM((kk, th, c, w), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        # the f32 acc scratch at the 136x240x64 layer needs 17.4M of scoped
+        # VMEM -- above the 16M default, well under the v5e's 128M
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, dy_t, dx_t, mask_t)
+    wt = weight.reshape(kk, c, cout).astype(jnp.bfloat16)
+    out = jnp.einsum("khcw,kcf->hwf", patches[:, :h], wt,
+                     preferred_element_type=jnp.float32) + bias
+    return out.astype(x.dtype)
+
+
+# -- hybrid dispatch: per-shape fastest kernel, trainable via custom_vjp ----
+
+def _hybrid_fastest(c: int) -> bool:
+    """True -> pallas_cm, False -> onehot (empirical crossover, see module
+    docstring: pallas_cm wins where the onehot hat-operand build dominates,
+    i.e. the large-spatial/small-channel layers)."""
+    return c <= 128
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _hybrid_vjp(x, offsets, mask, weight, bias, radius, kernel):
+    h, w, c = x.shape
+    if _hybrid_fastest(c) and jax.default_backend() == "tpu":
+        return deform_conv_pallas_cm(x, offsets, mask, weight, bias,
+                                     radius=radius, kernel=kernel)
+    return deform_conv_onehot(x, offsets, mask, weight, bias,
+                              radius=radius, kernel=kernel)
+
+
+def _hybrid_fwd(x, offsets, mask, weight, bias, radius, kernel):
+    out = _hybrid_vjp(x, offsets, mask, weight, bias, radius, kernel)
+    return out, (x, offsets, mask, weight, bias)
+
+
+def _hybrid_bwd(radius, kernel, res, g):
+    _, vjp = jax.vjp(
+        lambda xx, oo, mm, ww, bb: deform_conv_shift_xla(
+            xx, oo, mm, ww, bb, radius=radius, kernel=kernel), *res)
+    return vjp(g)
+
+
+_hybrid_vjp.defvjp(_hybrid_fwd, _hybrid_bwd)
+
+
+def deform_conv_hybrid(x, offsets, mask, weight, bias, radius: int = 4,
+                       kernel: int = 3):
+    """Per-shape fastest DCN: pallas_cm for C<=128 on TPU, onehot otherwise
+    (and everywhere on non-TPU backends, where Mosaic is unavailable --
+    the math is identical).  Backward pass is the VJP of the numerically
+    equivalent shift-XLA formulation, so dcn_impl=hybrid also trains."""
+    return _hybrid_vjp(x, offsets, mask, weight, bias, radius, kernel)

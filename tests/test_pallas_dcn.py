@@ -78,6 +78,44 @@ def test_model_level_equivalence_at_init(problem):
                                atol=1e-5)
 
 
+def test_pallas_cm_interpret_matches_oracle(problem):
+    """Round-3 channel-major kernel (interpreter mode on CPU; the TPU
+    compile + per-layer timings live in the module docstring)."""
+    from deft_tpu.ops.pallas_dcn import deform_conv_pallas_cm
+
+    x, offs, mask, wt, b, golden = problem
+    out = np.asarray(deform_conv_pallas_cm(
+        jnp.asarray(x), jnp.asarray(offs), jnp.asarray(mask),
+        jnp.asarray(wt), jnp.asarray(b), radius=R, tile_h=8, interpret=True))
+    # bf16 slab + bf16 patch/weight einsum: bf16-mantissa tolerance
+    np.testing.assert_allclose(out, golden, rtol=3e-2, atol=3e-2)
+
+
+def test_hybrid_matches_onehot_and_trains(problem):
+    """dcn_impl=hybrid: CPU forward routes to onehot (exact vs oracle) and
+    the custom_vjp backward (shift-XLA) matches gather-path gradients."""
+    from deft_tpu.ops.pallas_dcn import deform_conv_hybrid, deform_conv_onehot
+
+    x, offs, mask, wt, b, golden = problem
+    args = tuple(jnp.asarray(a) for a in (x, offs, mask, wt, b))
+    out = np.asarray(deform_conv_hybrid(*args, radius=R))
+    np.testing.assert_allclose(out, golden, rtol=1e-4, atol=1e-5)
+
+    def loss_h(wt_, x_):
+        return jnp.sum(deform_conv_hybrid(x_, args[1], args[2], wt_, args[4],
+                                          radius=R) ** 2)
+
+    def loss_o(wt_, x_):
+        return jnp.sum(deform_conv_onehot(x_, args[1], args[2], wt_, args[4],
+                                          radius=R) ** 2)
+
+    gh = jax.grad(loss_h, argnums=(0, 1))(args[3], args[0])
+    go = jax.grad(loss_o, argnums=(0, 1))(args[3], args[0])
+    for a, bb in zip(gh, go):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-3, atol=1e-3)
+
+
 def test_pallas_onehot_interpret_matches_oracle():
     """The Pallas port of the one-hot matmul kernel (interpreter mode; TPU
     compile is Mosaic-blocked, see the function docstring)."""
