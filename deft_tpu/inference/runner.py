@@ -107,11 +107,16 @@ class PipelinedRunner:
         self._step_chunk = jax.jit(step_chunk, donate_argnums=(2,))
         self._step_embed = jax.jit(step_embed, donate_argnums=(4,))
         self._fetch_pool = ThreadPoolExecutor(max_workers=max(depth, 2))
-        # dedicated single-worker uploader: frame uploads start the moment a
-        # frame is warped and run while the device computes earlier chunks
-        # (the wire is serial, so one ordered worker is the right shape);
-        # VERDICT r2 #1 -- uploads no longer serialize with dispatch
-        self._upload_pool = ThreadPoolExecutor(max_workers=1)
+        # uploader pool: frame uploads start the moment a frame is warped and
+        # run while the device computes earlier chunks (VERDICT r2 #1).
+        # Through a remote relay jax.device_put is LAZY -- block_until_ready
+        # returns in ~3 ms while the bytes ship only when a program consumes
+        # the buffer (measured; a consuming dispatch then pays ~30 ms/frame
+        # of wire time inline).  _stage_upload therefore FORCES each buffer
+        # resident with a tiny consume+fetch; the per-frame relay round trip
+        # that costs overlaps across the pool's workers.
+        self._upload_pool = ThreadPoolExecutor(max_workers=3)
+        self._force_resident = jax.jit(lambda a: a.ravel()[0])
 
         dims = {"scores": 1, "clses": 1, "cts": 2, "bboxes": 4,
                 "bboxes_amodal": 4, "tracking": 2, "dep": 1, "rot": 8,
@@ -160,9 +165,14 @@ class PipelinedRunner:
 
     def _stage_upload(self, warped: np.ndarray):
         """Start shipping a warped frame to the device immediately; returns a
-        future of the resident [H, W, 3] device buffer.  Runs on the ordered
-        uploader thread so the wire streams ahead of dispatch."""
-        return self._upload_pool.submit(self._jax.device_put, warped)
+        future of the RESIDENT [H, W, 3] device buffer (forced -- see
+        __init__ on the relay's lazy device_put)."""
+        def ship(arr):
+            buf = self._jax.device_put(arr)
+            self._jax.device_get(self._force_resident(buf))
+            return buf
+
+        return self._upload_pool.submit(ship, warped)
 
     def _parity_tf(self, frame_meta: dict):
         """[8] inverse-affine rows + original dims for --embed_parity

@@ -143,9 +143,13 @@ class DCNv2(nn.Module):
             # the Pallas kernels run unbatched (inference frame programs scan
             # frames one at a time, so B==1 there); under a real batch the
             # hybrid routes through onehot rather than relying on Mosaic's
-            # vmap batching rule in the training hot path
-            if b > 1 and self.impl in ("pallas_cm", "hybrid"):
-                fn = deform_conv_onehot
+            # vmap batching rule in the training hot path.  Batched = training
+            # shaped, so use the rematerialized variant: plain autodiff of
+            # the onehot loop OOMs HBM at training scale (pallas_dcn.py,
+            # deform_conv_onehot_remat docstring)
+            if b > 1 and self.impl in ("pallas_cm", "hybrid", "onehot"):
+                from deft_tpu.ops.pallas_dcn import deform_conv_onehot_remat
+                fn = deform_conv_onehot_remat
             w = (weight.astype(self.dtype) if self.dtype is not None
                  else weight)
             if b == 1:
@@ -159,15 +163,27 @@ class DCNv2(nn.Module):
                 )(x, offsets, mask)
             return out.astype(self.dtype) if self.dtype is not None else out
 
-        patches = jax.vmap(
-            lambda xi, oi, mi: deform_sample(xi, oi, mi, self.kernel, self.dilation)
-        )(x, offsets, mask)  # [B, H, W, KK*C]
+        def gather_conv(xb, ob, mb, wt):
+            patches = jax.vmap(
+                lambda xi, oi, mi: deform_sample(xi, oi, mi, self.kernel,
+                                                 self.dilation)
+            )(xb, ob, mb)  # [B, H, W, KK*C]
+            if self.dtype is not None:
+                patches = patches.astype(self.dtype)
+            out = jnp.einsum(
+                "bhwk,kf->bhwf", patches, wt,
+                preferred_element_type=jnp.float32,
+            )
+            return out + bias
+
+        if b > 1:
+            # training shapes: rematerialize the backward -- autodiff of the
+            # 4-tap gather otherwise stores every tap's [B, H, W, KK, C]
+            # intermediate across all DCN layers, which OOMs HBM at
+            # realistic input sizes (same pathology and fix as
+            # deform_conv_onehot_remat in ops/pallas_dcn.py)
+            gather_conv = jax.checkpoint(gather_conv)
         if self.dtype is not None:
             weight = weight.astype(self.dtype)
-            patches = patches.astype(self.dtype)
-        out = jnp.einsum(
-            "bhwk,kf->bhwf", patches, weight,
-            preferred_element_type=jnp.float32,
-        )
-        out = out + bias
+        out = gather_conv(x, offsets, mask, weight)
         return out.astype(self.dtype) if self.dtype is not None else out

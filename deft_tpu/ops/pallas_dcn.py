@@ -663,6 +663,23 @@ def deform_conv_pallas_cm(x, offsets, mask, weight, bias, radius: int = 4,
     return out.astype(x.dtype)
 
 
+@functools.partial(jax.checkpoint, static_argnums=(5, 6))
+def _onehot_remat(x, offsets, mask, weight, bias, radius, kernel):
+    return deform_conv_onehot(x, offsets, mask, weight, bias,
+                              radius=radius, kernel=kernel)
+
+
+def deform_conv_onehot_remat(x, offsets, mask, weight, bias, radius: int = 4,
+                             kernel: int = 3):
+    """onehot with rematerialized backward: plain autodiff of the onehot
+    loop stores every per-row-shift [B, H, W, KK, C] f32 intermediate, which
+    at training scale OOMs HBM (measured: 74 GB wanted for a batch-4 dla34
+    train step at 384x1280 -- 30 DCN layers x 13 shifts x 270 MB).
+    jax.checkpoint recomputes the forward inside the backward instead, so
+    only the primals are stored per layer.  Free when not differentiated."""
+    return _onehot_remat(x, offsets, mask, weight, bias, radius, kernel)
+
+
 # -- hybrid dispatch: per-shape fastest kernel, trainable via custom_vjp ----
 
 def _hybrid_fastest(c: int) -> bool:
