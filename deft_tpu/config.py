@@ -181,6 +181,11 @@ class Config:
     # (freshness_window(dataset) + 2 -- frames beyond it carry temporal decay
     # <= 0.01^((F+1)/3) ~ 0, tracker.py:76-90), 0 = the full 50-slot ring
     sim_window: int = -1
+    # chunked dispatch (runner chunk > 1): batch the model forward over the
+    # chunk and scan only the ring-similarity tail (frame_chunk_batched) vs
+    # scanning the whole frame program (frame_chunk).  Output-identical;
+    # per-shape perf differs (batched routes DCN through onehot).
+    chunk_batched: bool = False
     align_corners: bool = True                # torch-1.2 grid_sample semantics
 
     # ---- derived (filled by finalize / wire_dataset) --------------------------

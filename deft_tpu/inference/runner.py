@@ -93,7 +93,9 @@ class PipelinedRunner:
                 variables, images, state, thresh, k=cfg.K,
                 class_filter=class_filter, sims_quant=cfg.sims_quant,
                 sim_window=sim_window, parity_tf=parity_tf,
-                flip_test=cfg.flip_test, method="frame_chunk",
+                flip_test=cfg.flip_test,
+                method=("frame_chunk_batched" if cfg.chunk_batched
+                        else "frame_chunk"),
             )
 
         def step_embed(variables, image, centers, n_dets, state):

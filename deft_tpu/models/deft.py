@@ -204,21 +204,22 @@ class DEFTNet(nn.Module):
         with negated x, everything else taken from the unflipped pass).
         """
         if flip_test:
+            b = image.shape[0]
             both = jnp.concatenate([image, image[:, :, ::-1, :]], axis=0)
             outputs, feature_maps = self(both, None, None, train=False)
             outputs = dict(outputs)
-            flip = lambda t: t[1:2, :, ::-1, :]
+            flip = lambda t: t[b:, :, ::-1, :]
             for head in list(outputs):
                 o = outputs[head]
                 if head in ("hm", "wh", "dep", "dim"):
-                    outputs[head] = (o[0:1] + flip(o)) / 2.0
+                    outputs[head] = (o[:b] + flip(o)) / 2.0
                 elif head == "amodel_offset":
                     f = flip(o)
                     f = f.at[..., 0::2].multiply(-1.0)
-                    outputs[head] = (o[0:1] + f) / 2.0
+                    outputs[head] = (o[:b] + f) / 2.0
                 else:
-                    outputs[head] = o[0:1]
-            feature_maps = [fm[0:1] for fm in feature_maps]
+                    outputs[head] = o[:b]
+            feature_maps = [fm[:b] for fm in feature_maps]
         else:
             outputs, feature_maps = self(image, pre_img, pre_hm, train=False)
             outputs = dict(outputs)
@@ -394,11 +395,37 @@ class DEFTNet(nn.Module):
         image = self._maybe_normalize(image)
         dets, emb = self.detect(image, k=k, parity_tf=parity_tf,
                                 flip_test=flip_test)
-        emb = emb[0]                                           # [K, E]
-        scores = dets["scores"][0]
+        if prev_frame is not None:
+            state = dict(state)
+            del state["prev_frame"]
+        packed, sims_out, new_state = self._frame_tail(
+            {k2: v[0] for k2, v in dets.items()}, emb[0], state, out_thresh,
+            class_filter, sims_quant, sim_window)
+        if prev_frame is not None:
+            new_state["prev_frame"] = prev_frame
+        return packed, sims_out, new_state
+
+    # keys the host actually consumes -- embeddings stay device-side (the
+    # ring buffer is the only consumer); every per-detection output packs
+    # into ONE fp32 buffer and sims into ONE fp16 buffer -- through a
+    # remote-attached device each pytree leaf costs its own round trip
+    # (~3.5ms/leaf measured), so leaf count matters as much as bytes
+    _KEEP_DETS = ("scores", "clses", "cts", "bboxes", "bboxes_amodal",
+                  "tracking", "dep", "rot", "dim", "amodel_offset",
+                  "nuscenes_att", "velocity")
+
+    def _frame_tail(self, dets, emb, state, out_thresh, class_filter,
+                    sims_quant, sim_window):
+        """Post-detect per-frame tail shared by frame_step and the batched
+        chunk: validity/class compaction, ring similarity + write, packing.
+
+        dets: decode-output leaves WITHOUT the batch axis ([K, ...]);
+        emb: [K, E].  Returns (packed, sims_out, new_state).
+        """
+        scores = dets["scores"]
         valid = scores >= out_thresh                           # sorted prefix
         if class_filter >= 0:
-            cls_ok = dets["clses"][0].astype(jnp.int32) == class_filter
+            cls_ok = dets["clses"].astype(jnp.int32) == class_filter
             valid = valid & cls_ok
             # stable compaction so embeddings align with the host's filtered
             # detection list (host filter preserves relative order)
@@ -407,22 +434,9 @@ class DEFTNet(nn.Module):
         # the ring buffer holds at most max_object embeddings (K may exceed it)
         m = self.max_object
         n_valid = jnp.minimum(jnp.sum(valid), m).astype(jnp.int32)
-        if prev_frame is not None:
-            state = dict(state)
-            del state["prev_frame"]
         sims_out, new_state = self._sim_and_record(emb, n_valid, state,
                                                    sims_quant, sim_window)
-        if prev_frame is not None:
-            new_state["prev_frame"] = prev_frame
-        # trim the host transfer: embeddings stay device-side (the ring
-        # buffer is the only consumer); every per-detection output packs into
-        # ONE fp32 buffer and sims into ONE fp16 buffer -- through a
-        # remote-attached device each pytree leaf costs its own round trip
-        # (~3.5ms/leaf measured), so leaf count matters as much as bytes
-        keep = ("scores", "clses", "cts", "bboxes", "bboxes_amodal",
-                "tracking", "dep", "rot", "dim", "amodel_offset",
-                "nuscenes_att", "velocity")
-        dets = {k2: v for k2, v in dets.items() if k2 in keep}
+        dets = {k2: v[None] for k2, v in dets.items() if k2 in self._KEEP_DETS}
         packed = pack_dets(dets, n_valid)
         return packed, sims_out, new_state
 
@@ -451,4 +465,52 @@ class DEFTNet(nn.Module):
             return new_state, (packed, sims)
 
         final_state, (packed, sims) = jax.lax.scan(body, state, images)
+        return packed, sims, final_state
+
+    def frame_chunk_batched(self, images, state, out_thresh, k: int = 100,
+                            class_filter: int = -1, sims_quant: bool = False,
+                            sim_window: int = 0, parity_tf=None,
+                            flip_test: bool = False):
+        """``frame_chunk`` with the model forward BATCHED over the chunk.
+
+        The trunk/decode/embedding-extract of each frame is independent
+        (eval-mode norms), so the chunk runs through ``detect`` as one batch
+        of T frames -- better MXU utilization and (2r+5)-shift DCN overheads
+        amortized across the batch -- and only the cheap ring-similarity /
+        ring-write tail is scanned in frame order.  Output-identical to
+        ``frame_chunk`` (same per-sample math; the tail scan preserves the
+        ring-update ordering that makes chunking bit-compatible with T
+        sequential ``frame_step`` calls).
+        """
+        if "prev_frame" in state:
+            # delta uploads couple frames sequentially: frame_t = frame_{t-1}
+            # + delta_t (uint8 wraparound).  Reconstruct all frames with a
+            # cheap cumulative scan BEFORE the batched forward.
+            state = dict(state)
+            prev = state.pop("prev_frame")[0]              # [H, W, 3] uint8
+
+            def acc(p, d):
+                f = p + d                                  # uint8 wraps
+                return f, f
+
+            last, images = jax.lax.scan(acc, prev, images)
+            new_prev = last[None]
+        else:
+            new_prev = None
+
+        x = self._maybe_normalize(images)
+        dets, emb = self.detect(x, k=k, parity_tf=parity_tf,
+                                flip_test=flip_test)
+        dets = {k2: v for k2, v in dets.items()}
+
+        def tail(carry, per_frame):
+            dets_t, emb_t = per_frame
+            packed, sims_out, new_state = self._frame_tail(
+                dets_t, emb_t, carry, out_thresh, class_filter,
+                sims_quant, sim_window)
+            return new_state, (packed, sims_out)
+
+        final_state, (packed, sims) = jax.lax.scan(tail, state, (dets, emb))
+        if new_prev is not None:
+            final_state["prev_frame"] = new_prev
         return packed, sims, final_state

@@ -564,7 +564,7 @@ def deform_conv_pallas_onehot(x, offsets, mask, weight, bias,
 
 def _cm_kernel(xp_hbm, dy_ref, dx_ref, mask_ref, out_ref,
                slab_ref, copy_ref, acc_ref, sem, *, radius, kernel, tile_h,
-               width, pad_rows, col0):
+               width, pad_rows, col0, gated):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -582,22 +582,64 @@ def _cm_kernel(xp_hbm, dy_ref, dx_ref, mask_ref, out_ref,
     dy = [jnp.clip(dy_ref[k], -r, r) for k in range(kk)]    # [th, W] f32
     dx = [jnp.clip(dx_ref[k], -r, r) for k in range(kk)]
 
+    if gated:
+        # bilinear hats have 2-px support: tap k touches column shift cs only
+        # if some pixel has |dx_k - (cs - kx_k)| < 1, i.e. cs - kx_k lies in
+        # (min dx_k - 1, max dx_k + 1).  Trained DEFT offsets are small and
+        # spatially smooth, so per-tile bounds prune most of the (2r+5)^2
+        # static product space; pl.when makes the skip a real branch (the
+        # full unrolled body stays compiled = worst case unchanged).
+        dx_lo = [jnp.min(dx[k]) - 1.0 for k in range(kk)]
+        dx_hi = [jnp.max(dx[k]) + 1.0 for k in range(kk)]
+        dy_lo = [jnp.min(dy[k]) - 1.0 for k in range(kk)]
+        dy_hi = [jnp.max(dy[k]) + 1.0 for k in range(kk)]
+
     acc_ref[...] = jnp.zeros_like(acc_ref)
     for cs in range(-r - 2, r + 3):
-        # ONE lane-shift copy per absolute column shift; scratch-resident so
-        # the unrolled body reuses one buffer instead of stacking values
-        copy_ref[...] = slab_ref[:, :, col0 + cs: col0 + cs + width]
-        for k in range(kk):
-            if abs(cs - kx[k]) > r + 1:
-                continue
-            wx = jnp.maximum(0.0, 1.0 - jnp.abs(dx[k] - (cs - kx[k])))
-            for rs in range(-r - 2, r + 3):
-                if abs(rs - ky[k]) > r + 1:
-                    continue
-                wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy[k] - (rs - ky[k])))
-                w2 = (wx * wy)[:, None, :]                   # [th, 1, W]
-                rows = copy_ref[pad_rows + rs: pad_rows + rs + tile_h]
-                acc_ref[k] = acc_ref[k] + rows.astype(jnp.float32) * w2
+        taps = [k for k in range(kk) if abs(cs - kx[k]) <= r + 1]
+
+        def cs_body(cs=cs, taps=taps):
+            # ONE lane-shift copy per absolute column shift; scratch-resident
+            # so the unrolled body reuses one buffer instead of stacking
+            copy_ref[...] = slab_ref[:, :, col0 + cs: col0 + cs + width]
+            for k in taps:
+                wx = jnp.maximum(0.0, 1.0 - jnp.abs(dx[k] - (cs - kx[k])))
+
+                def k_body(k=k, wx=wx):
+                    for rs in range(-r - 2, r + 3):
+                        if abs(rs - ky[k]) > r + 1:
+                            continue
+
+                        def rs_body(k=k, wx=wx, rs=rs):
+                            wy = jnp.maximum(
+                                0.0, 1.0 - jnp.abs(dy[k] - (rs - ky[k])))
+                            w2 = (wx * wy)[:, None, :]       # [th, 1, W]
+                            rows = copy_ref[
+                                pad_rows + rs: pad_rows + rs + tile_h]
+                            acc_ref[k] = (acc_ref[k]
+                                          + rows.astype(jnp.float32) * w2)
+
+                        if gated:
+                            t = float(rs - ky[k])
+                            pl.when((dy_lo[k] < t) & (t < dy_hi[k]))(rs_body)
+                        else:
+                            rs_body()
+
+                if gated:
+                    s = float(cs - kx[k])
+                    pl.when((dx_lo[k] < s) & (s < dx_hi[k]))(k_body)
+                else:
+                    k_body()
+
+        if gated:
+            act = None
+            for k in taps:
+                s = float(cs - kx[k])
+                a = (dx_lo[k] < s) & (s < dx_hi[k])
+                act = a if act is None else (act | a)
+            pl.when(act)(cs_body)
+        else:
+            cs_body()
 
     for k in range(kk):
         a = acc_ref[k] * mask_ref[k][:, None, :]
@@ -606,9 +648,13 @@ def _cm_kernel(xp_hbm, dy_ref, dx_ref, mask_ref, out_ref,
 
 def deform_conv_pallas_cm(x, offsets, mask, weight, bias, radius: int = 4,
                           kernel: int = 3, tile_h: int = 8,
-                          interpret: bool = False):
+                          interpret: bool = False, gated: bool = True):
     """Channel-major Pallas shift-DCN.  Same contract as
-    deform_conv_shift_xla; exact within the +-radius clamp (bf16 slab)."""
+    deform_conv_shift_xla; exact within the +-radius clamp (bf16 slab).
+
+    ``gated=True`` prunes (tap, shift) blocks whose per-tile offset bounds
+    prove the bilinear hat is identically zero (pl.when scalar branches --
+    output-identical, data-adaptive runtime: worst case equals ungated)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -635,7 +681,7 @@ def deform_conv_pallas_cm(x, offsets, mask, weight, bias, radius: int = 4,
     patches = pl.pallas_call(
         functools.partial(
             _cm_kernel, radius=r, kernel=kernel, tile_h=th, width=w,
-            pad_rows=pad, col0=col0),
+            pad_rows=pad, col0=col0, gated=gated),
         out_shape=jax.ShapeDtypeStruct((kk, h_pad, c, w), jnp.bfloat16),
         grid=(h_pad // th,),
         in_specs=[

@@ -179,6 +179,97 @@ def test_delta_upload_equivalence(detector):
 
 
 @pytest.mark.slow
+def test_frame_chunk_batched_equivalence(detector):
+    """frame_chunk_batched (model forward batched over the chunk, ring tail
+    scanned) must reproduce frame_chunk (whole frame program scanned) --
+    same per-sample math, only the batching differs.  Covers the plain
+    path, class_filter compaction, sims_quant, delta reconstruction, and
+    flip_test."""
+    import jax.numpy as jnp
+
+    cfg = detector.cfg
+    model, variables = detector.model, detector.variables
+    frames = jnp.stack(
+        [jnp.asarray(detector.pre_process(make_frame(t))[0][0])
+         for t in range(3)])                              # [T, H, W, 3]
+
+    def ring(extra=None):
+        s = {
+            "embeds": jnp.zeros((50, cfg.max_object, detector.embed_dim),
+                                jnp.float32),
+            "counts": jnp.zeros((50,), jnp.int32),
+            "ptr": jnp.zeros((), jnp.int32),
+        }
+        if extra:
+            s.update(extra)
+        return s
+
+    cases = [
+        dict(),
+        dict(class_filter=0),
+        dict(sims_quant=True),
+        dict(flip_test=True),
+    ]
+    for kw in cases:
+        a = model.apply(variables, frames, ring(),
+                        jnp.float32(cfg.out_thresh), k=cfg.K,
+                        method="frame_chunk", **kw)
+        b = model.apply(variables, frames, ring(),
+                        jnp.float32(cfg.out_thresh), k=cfg.K,
+                        method="frame_chunk_batched", **kw)
+        for name, (xa, xb) in zip(
+                ("packed", "sims"), zip(a[:2], b[:2])):
+            np.testing.assert_allclose(
+                np.asarray(xa, np.float32), np.asarray(xb, np.float32),
+                rtol=1e-5, atol=1e-5, err_msg=f"{name} {kw}")
+        for key2 in a[2]:
+            np.testing.assert_allclose(
+                np.asarray(a[2][key2], np.float32),
+                np.asarray(b[2][key2], np.float32),
+                rtol=1e-5, atol=1e-5, err_msg=f"state[{key2}] {kw}")
+
+    # delta-upload reconstruction: ship uint8 deltas, carry prev_frame
+    u8 = (frames * 0).astype(jnp.uint8) + jnp.asarray(
+        np.random.RandomState(3).randint(0, 255, frames.shape, np.uint8))
+    prev = jnp.asarray(
+        np.random.RandomState(4).randint(0, 255, (1,) + frames.shape[1:],
+                                         np.uint8))
+    deltas = jnp.concatenate([u8[:1] - prev, u8[1:] - u8[:-1]], axis=0)
+    a = model.apply(variables, deltas, ring({"prev_frame": prev}),
+                    jnp.float32(cfg.out_thresh), k=cfg.K,
+                    method="frame_chunk")
+    b = model.apply(variables, deltas, ring({"prev_frame": prev}),
+                    jnp.float32(cfg.out_thresh), k=cfg.K,
+                    method="frame_chunk_batched")
+    np.testing.assert_array_equal(np.asarray(a[2]["prev_frame"]),
+                                  np.asarray(b[2]["prev_frame"]))
+    np.testing.assert_array_equal(np.asarray(a[2]["prev_frame"][0]),
+                                  np.asarray(u8[-1]))
+    np.testing.assert_allclose(np.asarray(a[0], np.float32),
+                               np.asarray(b[0], np.float32),
+                               rtol=1e-5, atol=1e-5)
+
+    # runner-level: --chunk_batched tracks identically
+    from deft_tpu.inference.detector import Detector
+    from deft_tpu.inference.runner import PipelinedRunner
+
+    seq = [make_frame(t) for t in range(7)]
+    det_a = Detector(cfg, model=model, variables=variables)
+    ids_a = ids_of(PipelinedRunner(det_a, depth=2, chunk=3)
+                   .track_sequence(seq))
+    det_b = Detector(cfg.replace(chunk_batched=True), model=model,
+                     variables=variables)
+    ids_b = ids_of(PipelinedRunner(det_b, depth=2, chunk=3)
+                   .track_sequence(seq))
+
+    def canonical(s):
+        remap = {}
+        return [[remap.setdefault(i, len(remap)) for i in fr] for fr in s]
+
+    assert canonical(ids_a) == canonical(ids_b)
+
+
+@pytest.mark.slow
 def test_flip_test_mirror_consistency(detector):
     """detect(flip_test=True) averages the straight and mirrored passes
     (detector.py:496-528 table), so its output must be equivariant under
