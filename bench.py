@@ -62,6 +62,10 @@ def main():
     ap.add_argument("--profile", type=str, default="",
                     help="directory for a jax.profiler trace of the measured "
                          "run (open with tensorboard/xprof)")
+    ap.add_argument("--chunk-batched", action="store_true",
+                    help="batch the model forward over each chunk "
+                         "(frame_chunk_batched) instead of scanning whole "
+                         "frame programs -- output-identical A/B knob")
     args = ap.parse_args()
 
     if args.smoke:
@@ -80,11 +84,13 @@ def main():
     if args.smoke:
         cfg = mot_config(input_h=128, input_w=160, dla_node="conv",
                          track_thresh=1e-3, compute_dtype=dtype,
-                         sims_quant=True, delta_upload=args.delta)
+                         sims_quant=True, delta_upload=args.delta,
+                         chunk_batched=args.chunk_batched)
         frames, warmup = 12, 4
     else:
         cfg = mot_config(track_thresh=1e-3, compute_dtype=dtype,
-                         sims_quant=True, delta_upload=args.delta)
+                         sims_quant=True, delta_upload=args.delta,
+                         chunk_batched=args.chunk_batched)
         frames, warmup = args.frames, args.warmup
 
     det = Detector(cfg)

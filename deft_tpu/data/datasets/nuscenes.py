@@ -36,6 +36,9 @@ class NuScenesDataset(GenericDataset):
                 data_dir, "annotations", f"{cfg.dataset_version}{split}.json"
             )
             img_dir = os.path.join(data_dir, "v1.0-trainval")
+        self.data_dir = data_dir
+        self.version = ("v1.0-test" if cfg.dataset_version == "test"
+                        or split == "test" else "v1.0-trainval")
         super().__init__(cfg, split, ann_path, img_dir)
 
     def convert_eval_format(self, results):
@@ -138,8 +141,19 @@ class NuScenesDataset(GenericDataset):
         return out
 
     def run_eval(self, results, save_dir):
-        """Writes the submission json; official metrics require the nuScenes
-        devkit + dataset (the reference shells out to devkit evaluators it
-        does not ship, nuscenes.py:269-294)."""
+        """Writes the submission json and, when the raw v1.0 schema tables
+        are present, computes AMOTA/AMOTP/MOTAR locally via the bundled
+        devkit-free evaluator (the reference shells out to devkit evaluators
+        it does not ship, nuscenes.py:269-294)."""
         task = "tracking" if self.cfg.tracking else "det"
-        return self.save_results(results, save_dir, task)
+        out = self.save_results(results, save_dir, task)
+        tables = os.path.join(self.data_dir, self.version, "scene.json")
+        if task == "tracking" and os.path.exists(tables):
+            try:
+                from tools.eval_nuscenes import (evaluate_submission,
+                                                 format_table)
+                res = evaluate_submission(out, self.data_dir, self.version)
+                print(format_table(res))
+            except Exception as e:             # eval is best-effort extra
+                print(f"nuScenes local eval skipped: {e}")
+        return out

@@ -148,8 +148,19 @@ class DCNv2(nn.Module):
             # the onehot loop OOMs HBM at training scale (pallas_dcn.py,
             # deform_conv_onehot_remat docstring)
             if b > 1 and self.impl in ("pallas_cm", "hybrid", "onehot"):
+                import os
                 from deft_tpu.ops.pallas_dcn import deform_conv_onehot_remat
-                fn = deform_conv_onehot_remat
+                if (os.environ.get("DEFT_DCN_BATCHED_IMPL") == "hybrid"
+                        and self.impl in ("pallas_cm", "hybrid")):
+                    # experiment knob: vmap the per-shape hybrid (Mosaic's
+                    # vmap rule adds a leading grid dim to pallas_cm) instead
+                    # of routing batches through onehot.  Rematerialized for
+                    # training-scale memory like the onehot route.
+                    from deft_tpu.ops.pallas_dcn import (
+                        deform_conv_hybrid_remat)
+                    fn = deform_conv_hybrid_remat
+                else:
+                    fn = deform_conv_onehot_remat
             w = (weight.astype(self.dtype) if self.dtype is not None
                  else weight)
             if b == 1:

@@ -767,3 +767,18 @@ def deform_conv_hybrid(x, offsets, mask, weight, bias, radius: int = 4,
     the math is identical).  Backward pass is the VJP of the numerically
     equivalent shift-XLA formulation, so dcn_impl=hybrid also trains."""
     return _hybrid_vjp(x, offsets, mask, weight, bias, radius, kernel)
+
+
+@functools.partial(jax.checkpoint, static_argnums=(5, 6))
+def _hybrid_remat(x, offsets, mask, weight, bias, radius, kernel):
+    return deform_conv_hybrid(x, offsets, mask, weight, bias,
+                              radius=radius, kernel=kernel)
+
+
+def deform_conv_hybrid_remat(x, offsets, mask, weight, bias, radius: int = 4,
+                             kernel: int = 3):
+    """hybrid with rematerialized backward (same memory rationale as
+    deform_conv_onehot_remat); the batched-inference experiment route
+    (models/dcn.py DEFT_DCN_BATCHED_IMPL=hybrid), vmap-able: Mosaic's vmap
+    rule adds a leading grid dimension to the pallas_cm kernel."""
+    return _hybrid_remat(x, offsets, mask, weight, bias, radius, kernel)
