@@ -180,9 +180,11 @@ class Config:
     # upload frames as planar YUV 4:2:0 ([H*3/2, W] uint8 -- HALF the bytes
     # of [H, W, 3]): the host packs BT.601 full-range with 2x2-averaged
     # chroma, the device decodes + normalizes in the fused frame program.
-    # Lossy only in chroma detail the MOT source videos (H.264 yuv420p)
-    # never carried (decoded-input PSNR > 30 dB, tests/test_runner.py).
-    # fix_res inputs only; mutually exclusive with delta_upload.
+    # LOSSY in chroma detail: natural video sources (H.264 yuv420p) never
+    # carried it, but on the saturated-color 96x160 synthetic benchmark the
+    # measured cost is ~5 MOTA (76.7 -> 71.3, 0 IDS both) -- use for
+    # bandwidth-starved transports with natural video only, never as the
+    # default.  fix_res inputs only; mutually exclusive with delta_upload.
     yuv_upload: bool = False
     # similarity window actually evaluated/downloaded per frame: -1 = auto
     # (freshness_window(dataset) + 2 -- frames beyond it carry temporal decay
