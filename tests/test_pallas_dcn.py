@@ -91,6 +91,39 @@ def test_pallas_cm_interpret_matches_oracle(problem):
     np.testing.assert_allclose(out, golden, rtol=3e-2, atol=3e-2)
 
 
+def test_pallas_cm_gating_edge_regimes():
+    """The offset-gated kernel must stay exact across gating regimes:
+    tiny offsets (aggressive pruning), exact-integer offsets (hat support
+    collapses to one shift; the gate's open interval must still admit it),
+    and full-range offsets (nothing prunes -- gated == ungated)."""
+    from deft_tpu.ops.pallas_dcn import deform_conv_pallas_cm
+
+    rng = np.random.RandomState(3)
+    H, W, C, CO = 16, 24, 8, 4
+    x = rng.randn(H, W, C).astype(np.float32)
+    mask = rng.rand(H, W, 9).astype(np.float32)
+    wt = rng.randn(9 * C, CO).astype(np.float32) * 0.1
+    b = rng.randn(CO).astype(np.float32)
+    regimes = {
+        "tiny": (rng.rand(H, W, 9, 2).astype(np.float32) - 0.5) * 0.2,
+        "integer": rng.randint(-R, R + 1, (H, W, 9, 2)).astype(np.float32),
+        "full": (rng.rand(H, W, 9, 2).astype(np.float32) * 2 * R - R),
+    }
+    for name, offs in regimes.items():
+        patches = deform_sample(jnp.asarray(x), jnp.asarray(offs),
+                                jnp.asarray(mask))
+        golden = (np.asarray(patches).reshape(H * W, 9 * C) @ wt
+                  + b).reshape(H, W, CO)
+        for gated in (True, False):
+            out = np.asarray(deform_conv_pallas_cm(
+                jnp.asarray(x), jnp.asarray(offs), jnp.asarray(mask),
+                jnp.asarray(wt), jnp.asarray(b), radius=R, tile_h=8,
+                interpret=True, gated=gated))
+            np.testing.assert_allclose(
+                out, golden, rtol=3e-2, atol=3e-2,
+                err_msg=f"regime={name} gated={gated}")
+
+
 def test_hybrid_matches_onehot_and_trains(problem):
     """dcn_impl=hybrid: CPU forward routes to onehot (exact vs oracle) and
     the custom_vjp backward (shift-XLA) matches gather-path gradients."""
