@@ -226,6 +226,10 @@ def main(argv=None):
         eval_kw["gt_dir"] = os.path.join(
             extras["data_dir"], _dataset_dirname(cfg), "train"
         )
+    elif cfg.dataset == "kitti_tracking":
+        eval_kw["gt_dir"] = os.path.join(
+            extras["data_dir"], _dataset_dirname(cfg), "label_02"
+        )
     metrics = dataset.run_eval(results, cfg.save_dir, **eval_kw)
     logger.close()
     return metrics

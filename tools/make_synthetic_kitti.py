@@ -87,7 +87,8 @@ def make_rich_sequence(root, seq, n_frames=300, w=1280, h=384, n_obj=60,
             "vy": float(rng.uniform(-0.15, 0.15)),
             "w": bw, "h": bh, "depth": depth,
             "t0": int(rng.randint(0, max(1, n_frames - 40))),
-            "life": int(rng.randint(120, n_frames + 1)),
+            "life": int(rng.randint(min(120, max(n_frames // 2, 1)),
+                                    n_frames + 1)),
             "color": tuple(int(c) for c in rng.randint(60, 255, 3)),
             "stripe": int(rng.randint(2, 6)),
         })
@@ -138,13 +139,18 @@ def main():
     ap.add_argument("--rich", action="store_true",
                     help="full-scale soak sequences (384x1280, 50+ objects)")
     ap.add_argument("--objects", type=int, default=60)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="base seed (sequence i uses seed+i); the fixture is "
+                         "fully deterministic, so soaks regenerate it at run "
+                         "time instead of committing it")
     args = ap.parse_args()
     for i in range(args.seqs):
         if args.rich:
             make_rich_sequence(args.out, f"{i:04d}", n_frames=args.frames,
-                               n_obj=args.objects, seed=i)
+                               n_obj=args.objects, seed=args.seed + i)
         else:
-            make_sequence(args.out, f"{i:04d}", n_frames=args.frames, seed=i)
+            make_sequence(args.out, f"{i:04d}", n_frames=args.frames,
+                          seed=args.seed + i)
     print(f"synthetic KITTI data at {args.out}")
 
 
