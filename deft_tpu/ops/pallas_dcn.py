@@ -70,7 +70,9 @@ ms/frame (v5e bf16 544x960, chained-scan differential, reproducible to
 +-0.01 ms across interleaved reps).  tile_h=8 is the optimum (th=16
 measured 3.22/1.11 ms on the two large layers vs 2.84/1.03).  Gradients
 flow through a custom_vjp whose backward is the VJP of the numerically
-equivalent deform_conv_shift_xla, so ``dcn_impl=hybrid`` also trains.
+equivalent deform_conv_onehot (round 4: was shift-XLA, whose backward
+compiles ~28x slower and timed out the multichip dryrun), so
+``dcn_impl=hybrid`` also trains.
 
 Why neither kernel approaches the 1.8 ms conv floor: the bilinear hat
 weight w(rs,cs) = wy(rs)*wx(cs) depends on the OUTPUT pixel through the
@@ -751,8 +753,15 @@ def _hybrid_fwd(x, offsets, mask, weight, bias, radius, kernel):
 
 
 def _hybrid_bwd(radius, kernel, res, g):
+    # backward = VJP of the numerically equivalent ONEHOT formulation, not
+    # the unrolled shift-XLA one: identical math (both are the exact
+    # clamped-bilinear sampling), but the shift-XLA VJP compiles ~28x slower
+    # (measured round 3: 75.8 s vs 2.7 s for the gradient of one tiny
+    # 8x8x16 layer on CPU) because its kk-accumulator unroll explodes the
+    # backward graph; across the trunk's DCN layers that timed out the
+    # multichip dryrun (MULTICHIP_r03 rc=124).
     _, vjp = jax.vjp(
-        lambda xx, oo, mm, ww, bb: deform_conv_shift_xla(
+        lambda xx, oo, mm, ww, bb: deform_conv_onehot(
             xx, oo, mm, ww, bb, radius=radius, kernel=kernel), *res)
     return vjp(g)
 
@@ -765,7 +774,8 @@ def deform_conv_hybrid(x, offsets, mask, weight, bias, radius: int = 4,
     """Per-shape fastest DCN: pallas_cm for C<=128 on TPU, onehot otherwise
     (and everywhere on non-TPU backends, where Mosaic is unavailable --
     the math is identical).  Backward pass is the VJP of the numerically
-    equivalent shift-XLA formulation, so dcn_impl=hybrid also trains."""
+    equivalent onehot formulation (compiles ~28x faster than the shift-XLA
+    VJP -- see _hybrid_bwd), so dcn_impl=hybrid also trains."""
     return _hybrid_vjp(x, offsets, mask, weight, bias, radius, kernel)
 
 
