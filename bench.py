@@ -111,6 +111,17 @@ def main():
     runner.track_sequence(warm_frames)
     runner.reset()
 
+    # measure the staging modes on real frames and let the runner pick
+    # (stacked vs per-frame, forced vs lazy residency): the relay's drifting
+    # flow control inverts the winner between rounds (VERDICT r3 #1/#7)
+    tune_scores = {}
+    if runner.chunk > 1 and not args.smoke:
+        tune_frames = [make_synthetic_frame(t, fh, fw)
+                       for t in range(3 * runner.chunk)]
+        tune_scores = runner.auto_tune(tune_frames, verbose=True)
+        print(f"# auto_tune picked stacked={runner.stacked} "
+              f"force_resident={runner.force_resident}", file=sys.stderr)
+
     seq = [make_synthetic_frame(t, fh, fw) for t in range(frames)]
     import contextlib
 
@@ -126,6 +137,7 @@ def main():
     # doesn't define the number
     n_rep = 1 if args.smoke else 3
     fps_runs = []
+    run_timings = []
     n_tracks = 0.0
     with prof_ctx:
         for _ in range(n_rep):
@@ -134,77 +146,79 @@ def main():
             results = runner.track_sequence(seq)
             elapsed = time.time() - t0
             fps_runs.append(frames / elapsed)
+            run_timings.append(runner.timings())
             n_tracks = sum(len(r) for r in results) / max(len(results), 1)
-    fps = sorted(fps_runs)[len(fps_runs) // 2]
+    order = sorted(range(n_rep), key=lambda i: fps_runs[i])
+    med = order[n_rep // 2]
+    fps = fps_runs[med]
+    buckets = run_timings[med]          # per-frame ms, median run
     elapsed = frames / fps
 
-    # ---- attribution: upload / device / fetch ms per frame -----------------
-    # Measured with fully synchronous stages: through a remote-attached
-    # device the async dispatch queue behaves pathologically (a deep
-    # donated-state chain runs ~2.5x SLOWER per step than synchronous
-    # cycles -- relay flow control), so the honest decomposition is
-    # cycle = upload + device(+dispatch) + fetch, each blocked.
+    # ---- raw wire probe (VERDICT r3 #1: record relay degradation, don't
+    # guess it): tiny-RTT + forced-resident frame / chunk-stack uploads ----
     import jax
     import jax.numpy as jnp
 
     runner.reset()
-    warps = [runner.warp(seq[i % len(seq)])[0] for i in range(6)]
+    force = jax.jit(lambda a: a.ravel()[0])
+    tiny = jnp.zeros((8,), jnp.float32)
+    bump = jax.jit(lambda x: x + 1)
+    jax.block_until_ready(bump(tiny))
+    n_dev = 3 if args.smoke else 6
+    rtts = []
+    for _ in range(n_dev):
+        td = time.time()
+        jax.device_get(bump(tiny))
+        rtts.append((time.time() - td) * 1000.0)
+    wire_rtt = sorted(rtts)[len(rtts) // 2]
+
+    warps = [runner.warp(seq[i % len(seq)])[0] for i in range(runner.chunk)]
     if getattr(runner, "_yuv_mode", False):
-        # measure what the pipeline actually ships: packed YUV 4:2:0 planes
         from deft_tpu.inference.runner import pack_yuv420
         warps = [pack_yuv420(w) for w in warps]
-    thresh = jnp.float32(cfg.out_thresh)
-    img = jax.device_put(jnp.asarray(warps[0]))
-    outs = runner._step(det.variables, img, runner.state, thresh, None)
-    jax.block_until_ready(outs)
-    state = outs[2]
-    n_dev = 3 if args.smoke else 6
-
     if getattr(runner, "_delta_mode", False):
-        # measure what the pipeline actually ships: frame deltas
-        payloads = [warps[0]] + [warps[i] - warps[i - 1]
-                                 for i in range(1, len(warps))]
-    else:
-        payloads = warps
-    # measure through the runner's forced-staging path: device_put is LAZY
-    # through the relay (block_until_ready returns ~3 ms with nothing
-    # shipped), so the honest upload figure is the forced consume+fetch
-    # that _stage_upload performs to make the buffer truly resident
-    td = time.time()
-    futs = [runner._stage_upload(payloads[i % len(payloads)])
-            for i in range(n_dev)]
-    bufs = [f.result() for f in futs]
-    upload_ms = (time.time() - td) / n_dev * 1000.0
+        warps = [warps[0]] + [warps[i] - warps[i - 1]
+                              for i in range(1, len(warps))]
 
-    td = time.time()
-    for i in range(n_dev):
-        packed, sims, state = runner._step(det.variables, bufs[i], state,
-                                           thresh, None)
-        out_host = jax.device_get((packed, sims))
-    step_fetch_ms = (time.time() - td) / n_dev * 1000.0
+    def probe_upload(host_arr, reps):
+        jax.device_get(force(jax.device_put(host_arr)))   # warm
+        ts = []
+        for i in range(reps):
+            a = host_arr.copy()
+            a.ravel()[0] = i
+            td = time.time()
+            jax.device_get(force(jax.device_put(a)))
+            ts.append(time.time() - td)
+        t = sorted(ts)[len(ts) // 2]
+        return t * 1000.0, host_arr.nbytes / 1e6 / t
 
-    # fetch cost alone: fresh (uncached) buffers of the same shapes via a
-    # trivial bump op -- jax caches the host copy of already-fetched arrays
-    bump = jax.jit(lambda p, s, i: (p + i, s + i.astype(s.dtype)))
-    jax.device_get(bump(packed, sims, jnp.float32(0)))      # warm compile
-    td = time.time()
-    for i in range(n_dev):
-        jax.device_get(bump(packed, sims, jnp.float32(i + 1)))
-    fetch_ms = (time.time() - td) / n_dev * 1000.0
+    frame_ms, frame_mbps = probe_upload(np.ascontiguousarray(warps[0]), n_dev)
+    chunk_ms = chunk_mbps = None
+    if runner.chunk > 1:
+        chunk_ms, chunk_mbps = probe_upload(np.stack(warps), 3)
 
-    device_ms = max(step_fetch_ms - fetch_ms, 0.01)
-
-    # True per-frame device time by differential timing: one synchronous
+    # ---- true per-frame device time by differential timing: one synchronous
     # frame_chunk dispatch computes `chunk` frames but pays the same relay
     # round trip as one frame_step dispatch, so
     #   dev = (t_chunk - t_single) / (chunk - 1)
-    # cancels the RTT that inflates device_ms above.  (jax.profiler traces
-    # hang through this relay, so a device trace is not available; this is
-    # the honest substitute.)
-    device_ms_chained = None
+    # cancels the relay RTT.  This is THE device_ms of record (VERDICT r3
+    # #8: one methodology); a jax.profiler trace cross-checks it when the
+    # relay permits (--profile).
+    thresh = jnp.float32(cfg.out_thresh)
+    bufs = []
+    for i in range(min(len(warps), 3)):
+        b = jax.device_put(np.ascontiguousarray(warps[i]))
+        jax.device_get(force(b))
+        bufs.append(b)
+    outs = runner._step(det.variables, bufs[0], runner.state, thresh, None)
+    jax.block_until_ready(outs)
+    state = outs[2]
+
+    device_ms = None
     if runner.chunk > 1:
         frames_t = tuple(bufs[i % len(bufs)] for i in range(runner.chunk))
-        c_out = runner._step_chunk(det.variables, frames_t, state, thresh, None)
+        c_out = runner._step_chunk(det.variables, frames_t, state, thresh,
+                                   None)
         jax.block_until_ready(c_out)
         state = c_out[2]
         t1s, tcs = [], []
@@ -223,53 +237,73 @@ def main():
             state = c_out[2]
         t1 = sorted(t1s)[len(t1s) // 2]
         tc = sorted(tcs)[len(tcs) // 2]
-        device_ms_chained = max((tc - t1) / (runner.chunk - 1) * 1000.0, 0.01)
+        device_ms = max((tc - t1) / (runner.chunk - 1) * 1000.0, 0.01)
 
-    # MFU: XLA's own flop count for the step / true device time / chip peak.
-    # device_ms above UPPER-bounds device time (it includes a relay round
-    # trip); the differential estimate is the honest denominator when
-    # available (VERDICT r2: do not use the RTT-inflated wall clock).
+    # MFU: XLA's own flop count / the differential device time / chip peak
     mfu = None
     try:
-        lowered = runner._step.lower(det.variables, img, state, thresh, None)
+        lowered = runner._step.lower(det.variables, bufs[0], state, thresh,
+                                     None)
         cost = lowered.compile().cost_analysis()
         flops = float((cost or {}).get("flops", 0.0))
         plat = jax.devices()[0].platform
         peak = 197e12 if plat == "tpu" else 1e12  # v5e bf16 peak; CPU nominal
-        denom_ms = device_ms_chained if device_ms_chained else device_ms
-        if flops > 0 and denom_ms > 0.2:
-            mfu = flops / (denom_ms / 1000.0) / peak
+        if flops > 0 and device_ms and device_ms > 0.2:
+            mfu = flops / (device_ms / 1000.0) / peak
     except Exception:
         pass
+
+    # ---- e2e attribution from the measured run itself (main-thread wall
+    # buckets sum to ~e2e; worker-side stages overlap and are informative) --
+    e2e_ms = elapsed / frames * 1000.0
+    main_keys = ("warp", "host_prep", "stage_wait", "dispatch", "chain_wait",
+                 "fetch_wait", "cascade")
+    attributed = sum(buckets.get(k, 0.0) for k in main_keys)
+    unattributed = e2e_ms - attributed
 
     out = {
         "metric": "e2e_mot17_tracking_fps_per_chip",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 60.0, 3),
-        "device_ms_per_frame": round(device_ms, 2),
-        "device_only_fps": round(1000.0 / device_ms, 1),
-        "upload_ms_per_frame": round(upload_ms, 1),
-        "fetch_ms_per_frame": round(fetch_ms, 1),
+        "wire_rtt_ms": round(wire_rtt, 1),
+        "wire_frame_up_ms": round(frame_ms, 1),
+        "wire_frame_up_mbps": round(frame_mbps, 1),
+        "e2e_ms_per_frame": round(e2e_ms, 1),
+        "unattributed_ms_per_frame": round(unattributed, 1),
     }
-    if device_ms_chained is not None:
-        out["device_ms_true"] = round(device_ms_chained, 2)
+    if chunk_mbps is not None:
+        out["wire_chunk_up_ms"] = round(chunk_ms, 1)
+        out["wire_chunk_up_mbps"] = round(chunk_mbps, 1)
+    if device_ms is not None:
+        out["device_ms"] = round(device_ms, 2)
     if mfu is not None:
         out["mfu"] = round(mfu, 4)
+    for k in main_keys:
+        if buckets.get(k):
+            out[f"t_{k}_ms"] = round(buckets[k], 1)
+    if buckets.get("upload_wire"):
+        out["t_upload_wire_ms"] = round(buckets["upload_wire"], 1)
+    if buckets.get("chain_dispatch"):
+        out["t_chain_dispatch_ms"] = round(buckets["chain_dispatch"], 1)
     print(json.dumps(out))
-    host_ms = max(elapsed / frames * 1000.0 - device_ms - upload_ms
-                  - fetch_ms, 0.0)
     print(f"# frames={frames} elapsed={elapsed:.2f}s tracks/frame={n_tracks:.1f} "
           f"dtype={dtype} pipeline_depth={runner.depth} chunk={runner.chunk} "
-          f"sim_window={runner.sim_window} "
+          f"sim_window={runner.sim_window} stacked={runner.stacked} "
+          f"force_resident={runner.force_resident} "
           f"runs_fps={[round(f, 2) for f in fps_runs]}", file=sys.stderr)
-    true_dev = (f"{device_ms_chained:.1f}" if device_ms_chained is not None
-                else "n/a")
-    print(f"# attribution (sync stages): upload {upload_ms:.1f} + "
-          f"dispatch+device {device_ms:.1f} + fetch {fetch_ms:.1f} ms/frame "
-          f"(dispatch+device includes one relay round trip; the differential "
-          f"chunk-vs-single estimate puts true per-frame device time at "
-          f"{true_dev} ms); e2e remainder {host_ms:.1f} ms/frame",
+    if tune_scores:
+        print(f"# auto_tune fps: " + ", ".join(
+            f"{k}={v:.2f}" for k, v in tune_scores.items()), file=sys.stderr)
+    bstr = " + ".join(f"{k} {buckets.get(k, 0.0):.1f}" for k in main_keys
+                      if buckets.get(k))
+    print(f"# e2e attribution (median run, main-thread wall): {bstr} "
+          f"= {attributed:.1f} of {e2e_ms:.1f} ms/frame "
+          f"(unattributed {unattributed:.1f}); worker-side overlap: "
+          f"upload_wire {buckets.get('upload_wire', 0.0):.1f}, "
+          f"chain_dispatch {buckets.get('chain_dispatch', 0.0):.1f} ms/frame; "
+          f"wire probe: rtt {wire_rtt:.1f} ms, frame {frame_mbps:.1f} MB/s"
+          + (f", chunk {chunk_mbps:.1f} MB/s" if chunk_mbps else ""),
           file=sys.stderr)
 
 

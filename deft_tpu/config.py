@@ -196,13 +196,16 @@ class Config:
     # per-shape perf differs (batched routes DCN through onehot).
     chunk_batched: bool = False
     # chunked dispatch staging: stack the chunk's warped frames into ONE
-    # host buffer and ship it as a single device_put (one forced-residency
-    # round trip per chunk instead of per frame, and large transfers ride
-    # the relay's better bulk bandwidth -- measured 1.57 MB at ~20 MB/s vs
-    # 6.3 MB at ~50 MB/s through the tunnel).  Bit-exact vs per-frame
-    # staging (same bytes; the stack just happens on host).  Set False to
-    # restore per-frame staging (starts each frame's upload the moment it
-    # is warped -- lower single-stream latency, more relay round trips).
+    # host buffer shipped as a single device_put on a dedicated chain
+    # worker (upload -> dispatch -> fetch-submit), so the main thread keeps
+    # warping the next chunk during the wire time and the chunk pays one
+    # relay transfer instead of one per frame (measured round 4: 1.57 MB at
+    # ~21 MB/s forced-resident vs 6.2 MB at ~34 MB/s -- bulk transfers ride
+    # the relay better).  Bit-exact vs per-frame staging (same bytes; the
+    # stack just happens on host).  Set False to restore per-frame staging
+    # (starts each frame's upload the moment it is warped -- lower
+    # single-stream latency, more relay round trips).
+    # PipelinedRunner.auto_tune() measures both on real frames and picks.
     stacked_upload: bool = True
     align_corners: bool = True                # torch-1.2 grid_sample semantics
 

@@ -20,6 +20,8 @@ similarity tensor via ``Tracker.update(..., sims=...)``.
 
 from __future__ import annotations
 
+import threading
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional
 
@@ -114,10 +116,12 @@ class PipelinedRunner:
             )
 
         def step_chunk(variables, frames, state, thresh, parity_tf):
-            # frames: tuple of [H, W, 3] arrays pre-staged on device by the
-            # uploader thread; the stack is a cheap on-device concat, so
-            # dispatch no longer pays the host->device wire time
-            images = jnp.stack(frames)
+            # frames: either a tuple of [H, W, 3] arrays pre-staged on device
+            # by the uploader thread (per-frame staging) or ONE stacked
+            # [T, H, W, 3] buffer shipped as a single device_put (stacked
+            # staging -- fewer relay round trips, better bulk bandwidth)
+            images = (jnp.stack(frames) if isinstance(frames, (tuple, list))
+                      else frames)
             return model.apply(
                 variables, images, state, thresh, k=cfg.K,
                 class_filter=class_filter, sims_quant=cfg.sims_quant,
@@ -148,6 +152,23 @@ class PipelinedRunner:
         # that costs overlaps across the pool's workers.
         self._upload_pool = ThreadPoolExecutor(max_workers=3)
         self._force_resident = jax.jit(lambda a: a.ravel()[0])
+        # stacked staging (cfg.stacked_upload, chunked dispatch only): the
+        # chunk's warped frames stack into ONE host buffer shipped as a
+        # single device_put, and the whole upload->dispatch->fetch-submit
+        # chain runs on a dedicated single worker so (a) the main thread
+        # keeps warping the next chunk during the wire time and (b) the
+        # donated ring-state token chains in submission order.
+        self.stacked = bool(cfg.stacked_upload) and self.chunk > 1
+        # force the stacked buffer resident before dispatching (one extra
+        # relay RTT per chunk) vs letting the dispatch consume the lazy
+        # device_put inline.  Inside the async chain nothing blocks on the
+        # dispatch itself, so lazy is the default; auto_tune() measures both.
+        self.force_resident = False
+        self._chain_pool = ThreadPoolExecutor(max_workers=1)
+        # per-frame wall-time attribution buckets (ms totals; see timings())
+        self._t_lock = threading.Lock()
+        self.buckets: Dict[str, float] = {}
+        self._frames_done = 0
 
         dims = {"scores": 1, "clses": 1, "cts": 2, "bboxes": 4,
                 "bboxes_amodal": 4, "tracking": 2, "dep": 1, "rot": 8,
@@ -162,9 +183,71 @@ class PipelinedRunner:
         self._layout = [(key, dims[key]) for key in sorted(present)]
         self.reset()
 
+    def _acc(self, key: str, dt_s: float):
+        with self._t_lock:
+            self.buckets[key] = self.buckets.get(key, 0.0) + dt_s * 1000.0
+
+    def timings(self) -> Dict[str, float]:
+        """ms/frame per bucket since the last reset.
+
+        Main-thread buckets (sum ~ e2e wall): warp, host_prep, stage_wait,
+        dispatch, chain_wait, fetch_wait, cascade.  Worker-side stage costs
+        (overlap the main thread; informative): upload_wire, chain_dispatch.
+        """
+        n = max(self._frames_done, 1)
+        return {k: v / n for k, v in sorted(self.buckets.items())}
+
+    def auto_tune(self, frames, metas=None, verbose: bool = False) -> dict:
+        """Measure the staging modes on a few real frames and pick the
+        fastest (VERDICT r3 #1: the runner must choose, not assume -- the
+        relay's flow control inverts which mode wins as its bandwidth
+        drifts).  Modes swept (chunked dispatch only; chunk==1 keeps
+        per-frame forced staging):
+
+          stacked+lazy    one device_put per chunk, dispatch consumes it
+          stacked+forced  one device_put per chunk, forced resident first
+          perframe        per-frame forced staging on the 3-worker pool
+
+        Runs each mode over ``frames`` (>= 2 chunks recommended), restores
+        the tracker state, sets self.stacked/self.force_resident to the
+        winner, and returns {mode: fps}.  Callers should warm up (compile)
+        first; track_sequence here reuses the already-jitted programs."""
+        if self.chunk <= 1 or self.cfg.public_det:
+            return {}
+        sweep = [("stacked+lazy", True, False),
+                 ("stacked+forced", True, True),
+                 ("perframe", False, False)]
+        scores = {}
+        for name, stacked, forced in sweep:
+            self.reset()
+            self.stacked, self.force_resident = stacked, forced
+            t0 = time.time()
+            self.track_sequence(frames, metas)
+            scores[name] = len(frames) / (time.time() - t0)
+            if verbose:
+                print(f"# auto_tune {name}: {scores[name]:.2f} fps")
+        best = max(scores, key=scores.get)
+        _, self.stacked, self.force_resident = next(
+            s for s in sweep if s[0] == best)
+        self.reset()
+        return scores
+
     def reset(self):
         jnp = self._jnp
         cfg = self.cfg
+        # drain in-flight chains/fetches before touching the donated state
+        if getattr(self, "_pending", None):
+            for item in self._pending:
+                fut = item.get("chain") or item.get("future")
+                try:
+                    f = fut.result()
+                    if hasattr(f, "result"):
+                        f.result()
+                except Exception:
+                    pass
+        with self._t_lock:
+            self.buckets = {}
+            self._frames_done = 0
         self.state = {
             "embeds": jnp.zeros(
                 (50, cfg.max_object, self.det.embed_dim), jnp.float32
@@ -270,10 +353,19 @@ class PipelinedRunner:
         from deft_tpu.models.deft import unpack_dets
 
         if "public" in item:
+            t0 = time.time()
             sims = self._desims(item["future"].result())
-            return self.det.tracker.update(item["public"], None, sims=sims)
+            self._acc("fetch_wait", time.time() - t0)
+            t0 = time.time()
+            out = self.det.tracker.update(item["public"], None, sims=sims)
+            self._acc("cascade", time.time() - t0)
+            self._frames_done += 1
+            return out
 
+        t0 = time.time()
         packed, sims = item["future"].result()
+        self._acc("fetch_wait", time.time() - t0)
+        t0 = time.time()
         meta = item["meta"]
         dets, n_valid = unpack_dets(np.asarray(packed), self._layout,
                                     self.cfg.K)
@@ -284,13 +376,18 @@ class PipelinedRunner:
             results = [d for d in results if d["class"] == 2]
         results = results[:n_valid] if len(results) > n_valid else results
         sims = self._desims(sims)
-        return self.det.tracker.update(results, None, sims=sims)
+        out = self.det.tracker.update(results, None, sims=sims)
+        self._acc("cascade", time.time() - t0)
+        self._frames_done += 1
+        return out
 
     def submit(self, image_bgr: np.ndarray, meta: Optional[dict] = None):
         """Feed one frame; returns completed frames' tracks (a list when
         chunked, a single track list otherwise) once the pipeline is full,
         else None."""
+        t0 = time.time()
         warped, frame_meta = self.warp(image_bgr, meta)
+        self._acc("warp", time.time() - t0)
         return self.submit_warped(warped, frame_meta)
 
     def flush(self) -> List[List]:
@@ -312,12 +409,24 @@ class PipelinedRunner:
                 "a padded partial chunk was flushed (device ring holds pad "
                 "entries); call reset() before submitting more frames"
             )
+        t0 = time.time()
         if self._delta_mode:
             payload = warped - self._prev_warped      # uint8 wraps mod 256
             self._prev_warped = warped
             warped = payload
         if self._yuv_mode:
             warped = pack_yuv420(warped)
+        self._acc("host_prep", time.time() - t0)
+        if self.stacked:
+            # stacked staging: buffer the HOST array; the chunk ships as one
+            # device_put on the chain worker (no per-frame staging RPCs)
+            self._chunk_buf.append((warped, frame_meta))
+            out = []
+            if len(self._chunk_buf) >= self.chunk:
+                self._dispatch_chunk()
+            while len(self._pending) > self.depth:
+                out.extend(self._finish_chunk(self._pending.pop(0)))
+            return out or None
         wfut = self._stage_upload(warped)
         if self.chunk > 1:
             return self._submit_chunked(wfut, frame_meta)
@@ -351,22 +460,60 @@ class PipelinedRunner:
             self._ring_dirty = True       # device ring holds padded entries
         while len(stack) < self.chunk:
             stack.append(stack[-1])
-        # frames were pre-staged on device by the uploader thread; in steady
-        # state these futures resolved while the previous chunk computed
-        frames = tuple(f.result() for f in stack)
         self._chunk_buf = []
-        outs = self._step_chunk(
-            self.det.variables, frames, self.state,
-            self._jnp.float32(self.cfg.out_thresh),
-            self._parity_tf(metas[0]),
-        )
+        ptf = self._parity_tf(metas[0])
+        thresh = self._jnp.float32(self.cfg.out_thresh)
+
+        if self.stacked:
+            # ONE host buffer, one device_put, chain on the single worker so
+            # upload wire time overlaps the main thread's warping and the
+            # donated state token chains in submission order
+            t0 = time.time()
+            host_stack = np.stack(stack)
+            self._acc("host_prep", time.time() - t0)
+
+            def chain(host_stack=host_stack):
+                t0 = time.time()
+                buf = self._jax.device_put(host_stack)
+                if self.force_resident:
+                    self._jax.device_get(self._force_resident(buf))
+                self._acc("upload_wire", time.time() - t0)
+                t0 = time.time()
+                packed, sims, self.state = self._step_chunk(
+                    self.det.variables, buf, self.state, thresh, ptf)
+                self._acc("chain_dispatch", time.time() - t0)
+                return self._fetch_pool.submit(
+                    self._jax.device_get, (packed[:n_real], sims[:n_real]))
+
+            self._pending.append({"chain": self._chain_pool.submit(chain),
+                                  "metas": metas})
+            return
+
+        # per-frame staging: frames were pre-staged on device by the uploader
+        # pool; in steady state these futures resolved while the previous
+        # chunk computed
+        t0 = time.time()
+        frames = tuple(f.result() for f in stack)
+        self._acc("stage_wait", time.time() - t0)
+        t0 = time.time()
+        outs = self._step_chunk(self.det.variables, frames, self.state,
+                                thresh, ptf)
         packed, sims, self.state = outs
+        self._acc("dispatch", time.time() - t0)
         fut = self._fetch_pool.submit(self._jax.device_get,
                                       (packed[:n_real], sims[:n_real]))
         self._pending.append({"future": fut, "metas": metas})
 
     def _finish_chunk(self, item) -> List:
-        packed, sims = item["future"].result()
+        if "chain" in item:
+            t0 = time.time()
+            fut = item["chain"].result()     # upload + dispatch done
+            self._acc("chain_wait", time.time() - t0)
+        else:
+            fut = item["future"]
+        t0 = time.time()
+        packed, sims = fut.result()
+        self._acc("fetch_wait", time.time() - t0)
         results = []
         for t, meta in enumerate(item["metas"]):
             results.append(self._finish({
