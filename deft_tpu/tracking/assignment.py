@@ -40,6 +40,28 @@ def linear_assignment(cost: np.ndarray, thresh: float) -> Tuple[np.ndarray, np.n
             np.arange(cost.shape[0]),
             np.arange(cost.shape[1]),
         )
+    # EXACT pre-reduction: a row (or column) whose every cost exceeds the
+    # limit can only take its own dummy in the padded formulation (dummies
+    # are diagonal -- no other row can use them), so removing it leaves the
+    # rest of the problem untouched.  Gated cascades at high track counts
+    # make most rows infeasible (every cost inf), which otherwise inflates
+    # the padded solve to (n+m)^2 on mostly-1e9 entries -- measured 30+ ms
+    # per 397x100 call at bench max-load vs ~1 ms after reduction.
+    feas_r = (cost <= thresh).any(axis=1)
+    feas_c = (cost <= thresh).any(axis=0)
+    if not (feas_r.all() and feas_c.all()):
+        rows_idx = np.where(feas_r)[0]
+        cols_idx = np.where(feas_c)[0]
+        sub = cost[np.ix_(rows_idx, cols_idx)]
+        smatches, sur, suc = linear_assignment(sub, thresh)
+        matches = np.stack(
+            [rows_idx[smatches[:, 0]], cols_idx[smatches[:, 1]]], axis=1
+        ) if len(smatches) else np.empty((0, 2), dtype=int)
+        unmatched_r = np.sort(np.concatenate(
+            [np.where(~feas_r)[0], rows_idx[sur]])).astype(int)
+        unmatched_c = np.sort(np.concatenate(
+            [np.where(~feas_c)[0], cols_idx[suc]])).astype(int)
+        return matches, unmatched_r, unmatched_c
     n, m = cost.shape
     # lap.lapjv's extension charges cost_limit/2 per dummy assignment, so an
     # unmatched (row, col) pair totals cost_limit and a real pair wins iff its

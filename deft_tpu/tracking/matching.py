@@ -55,11 +55,13 @@ def iou_distance(atracks, btracks, frame_id: int = 0,
     ):
         atlbrs, btlbrs = atracks, btracks
     else:
+        from deft_tpu.tracking.tracker import stacked_tlbrs
+
         if use_prediction:
             atlbrs = [t.prediction_at_frame_tlbr(frame_id) for t in atracks]
         else:
-            atlbrs = [t.tlbr for t in atracks]
-        btlbrs = [t.tlbr for t in btracks]
+            atlbrs = stacked_tlbrs(atracks)
+        btlbrs = stacked_tlbrs(btracks)
     return 1.0 - ious(atlbrs, btlbrs)
 
 

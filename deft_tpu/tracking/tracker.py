@@ -299,7 +299,8 @@ class STrack(BaseTrack):
                 self.tlwh_to_xyah(self._tlwh)
             )
 
-    def re_activate(self, new_track: "STrack", frame_id: int):
+    def re_activate(self, new_track: "STrack", frame_id: int,
+                    kf_result=None):
         self.tracklet_len = 0
         self.state = TrackState.Tracked
         self.is_activated = True
@@ -315,12 +316,14 @@ class STrack(BaseTrack):
                 self.observations_tlwh.append(new_track.tlwh.copy())
             else:
                 self.update_lstm_features(new_track.tlwh)
+        elif kf_result is not None:
+            self.mean, self.covariance = kf_result
         else:
             self.mean, self.covariance = self.kalman_filter.update(
                 self.mean, self.covariance, self.tlwh_to_xyah(new_track.tlwh)
             )
 
-    def update(self, new_track: "STrack", frame_id: int):
+    def update(self, new_track: "STrack", frame_id: int, kf_result=None):
         self.frame_id = frame_id
         self.tracklet_len += 1
         new_tlwh = new_track.tlwh
@@ -338,6 +341,8 @@ class STrack(BaseTrack):
                 self.observations_tlwh.append(new_track.tlwh.copy())
             else:
                 self.update_lstm_features(new_tlwh)
+        elif kf_result is not None:
+            self.mean, self.covariance = kf_result
         else:
             self.mean, self.covariance = self.kalman_filter.update(
                 self.mean, self.covariance, self.tlwh_to_xyah(new_tlwh)
@@ -528,6 +533,31 @@ class Tracker:
 
     # -- the cascade -----------------------------------------------------------
 
+    def _apply_matches(self, pool, detections, matches, activated, output):
+        """Apply one association stage's matches: batched Kalman correction
+        (ONE LAPACK batch via KalmanFilter.multi_update instead of one solve
+        per track -- same math) + the per-track lifecycle bookkeeping."""
+        pairs = [(pool[it], detections[idet]) for it, idet in matches]
+        results = {}
+        kf_pairs = [(t, d) for t, d in pairs
+                    if not self.use_lstm and t.mean is not None]
+        if len(kf_pairs) >= 2:
+            means = np.stack([t.mean for t, _ in kf_pairs])
+            covs = np.stack([t.covariance for t, _ in kf_pairs])
+            meas = np.stack([STrack.tlwh_to_xyah(d.tlwh)
+                             for _, d in kf_pairs])
+            nm, nc = self.kalman_filter.multi_update(means, covs, meas)
+            results = {id(t): (nm[i], nc[i])
+                       for i, (t, _) in enumerate(kf_pairs)}
+        for track, det in pairs:
+            output.append(track)
+            pre = results.get(id(track))
+            if track.state == TrackState.Tracked:
+                track.update(det, self.frame_id, kf_result=pre)
+                activated.append(track)
+            else:
+                track.re_activate(det, self.frame_id, kf_result=pre)
+
     def update(self, detections_in: List[Dict], embeddings: np.ndarray,
                ddd_boxes=None, depths=None, ddd_org_boxes=None,
                submission=None, classe=None, sims=None) -> List[STrack]:
@@ -631,15 +661,8 @@ class Tracker:
                 frame_id=self.frame_id, use_lstm=self.use_lstm,
             )
         matches, u_track, u_detection2 = matching.linear_assignment(dists, 0.9)
-        for itracked, idet in matches:
-            track = strack_pool[itracked]
-            output.append(track)
-            det = detections[idet]
-            if track.state == TrackState.Tracked:
-                track.update(det, self.frame_id)
-                activated.append(track)
-            else:
-                track.re_activate(det, self.frame_id)
+        self._apply_matches(strack_pool, detections, matches, activated,
+                            output)
         r_tracked = [strack_pool[i] for i in u_track]
         detections = [detections[i] for i in u_detection2]
 
@@ -655,15 +678,8 @@ class Tracker:
                 matches, u_track, u_detection = matching.linear_assignment(
                     dists, 0.9
                 )
-                for itracked, idet in matches:
-                    track = r_tracked[itracked]
-                    output.append(track)
-                    det = detections[idet]
-                    if track.state == TrackState.Tracked:
-                        track.update(det, self.frame_id)
-                        activated.append(track)
-                    else:
-                        track.re_activate(det, self.frame_id)
+                self._apply_matches(r_tracked, detections, matches,
+                                    activated, output)
                 detections = [detections[i] for i in u_detection]
                 strack_pool = r_tracked
             else:
@@ -691,15 +707,8 @@ class Tracker:
                                           use_prediction=self.use_lstm)
             matches, u_track, u_detection = matching.linear_assignment(dists, 0.9)
 
-        for itracked, idet in matches:
-            track = r_tracked[itracked]
-            output.append(track)
-            det = detections[idet]
-            if track.state == TrackState.Tracked:
-                track.update(det, self.frame_id)
-                activated.append(track)
-            else:
-                track.re_activate(det, self.frame_id)
+        self._apply_matches(r_tracked, detections, matches, activated,
+                            output)
 
         for it in u_track:
             track = r_tracked[it]
@@ -741,6 +750,27 @@ class Tracker:
             ddd_tracking=(self.dataset == "nuscenes"),
         )
         return output
+
+
+def stacked_tlbrs(tracks) -> np.ndarray:
+    """[N, 4] tlbr for a track pool in one vectorized pass (the per-track
+    tlwh/tlbr properties cost ~6 small numpy allocs each; at 400-track pools
+    the association stages were spending ms/frame just re-deriving boxes)."""
+    n = len(tracks)
+    out = np.empty((n, 4), np.float64)
+    kf_idx = [i for i, t in enumerate(tracks)
+              if not t.use_lstm and t.mean is not None]
+    if kf_idx:
+        mm = np.stack([tracks[i].mean[:4] for i in kf_idx])
+        w = mm[:, 2] * mm[:, 3]
+        h = mm[:, 3]
+        x1 = mm[:, 0] - w / 2
+        y1 = mm[:, 1] - h / 2
+        out[kf_idx] = np.stack([x1, y1, x1 + w, y1 + h], axis=1)
+    for i, t in enumerate(tracks):
+        if t.use_lstm or t.mean is None:
+            out[i] = t.tlbr
+    return out
 
 
 def joint_stracks(tlista, tlistb):

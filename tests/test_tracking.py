@@ -215,3 +215,74 @@ def test_tracker_empty_frames():
     dets, embs = make_frame([0], 2)
     out = trk.update(dets, embs)
     assert len(out) == 1
+
+
+def test_assignment_infeasible_reduction_exact():
+    """The all-above-limit row/col pre-reduction must match the unreduced
+    padded solve's objective exactly (the dummies are diagonal, so an
+    infeasible row can only take its own dummy -- assignment.py)."""
+    from scipy.optimize import linear_sum_assignment as lsa
+
+    def unreduced(cost, thresh):
+        n, m = cost.shape
+        big = np.full((n + m, n + m), 1e9)
+        big[:n, :m] = np.minimum(np.nan_to_num(cost, posinf=1e9), 1e9)
+        big[n:, m:] = 0.0
+        np.fill_diagonal(big[:n, m:], thresh / 2.0)
+        np.fill_diagonal(big[n:, :m], thresh / 2.0)
+        rows, cols = lsa(big)
+        return big[rows, cols].sum()
+
+    rng = np.random.RandomState(7)
+    for _ in range(60):
+        n, m = rng.randint(1, 25), rng.randint(1, 25)
+        cost = rng.rand(n, m) * 2
+        cost[rng.rand(n, m) < rng.rand() * 0.95] = np.inf
+        th = float(rng.uniform(0.1, 1.5))
+        matches, ur, uc = linear_assignment(cost, th)
+        cc = np.nan_to_num(cost, posinf=1e9)
+        obj = sum(cc[r, c] for r, c in matches) + (
+            (n - len(matches)) + (m - len(matches))) * th / 2
+        assert abs(obj - unreduced(cost, th)) < 1e-9
+        assert len(matches) + len(ur) == n
+        assert len(matches) + len(uc) == m
+        assert all(cc[r, c] <= th + 1e-12 for r, c in matches)
+
+
+def test_kf_multi_update_matches_single():
+    kf = KalmanFilter()
+    rng = np.random.RandomState(3)
+    means, covs, meas = [], [], []
+    for _ in range(32):
+        m, c = kf.initiate(np.abs(rng.rand(4)) * 80 + 1)
+        for _ in range(rng.randint(1, 6)):
+            m, c = kf.predict(m, c)
+        means.append(m)
+        covs.append(c)
+        meas.append(np.abs(rng.rand(4)) * 80 + 1)
+    nm, nc = kf.multi_update(np.stack(means), np.stack(covs), np.stack(meas))
+    for i in range(32):
+        m1, c1 = kf.update(means[i], covs[i], meas[i])
+        np.testing.assert_allclose(nm[i], m1, atol=1e-10)
+        np.testing.assert_allclose(nc[i], c1, atol=1e-10)
+
+
+def test_stacked_tlbrs_matches_property():
+    from deft_tpu.tracking.tracker import STrack, stacked_tlbrs
+    from deft_tpu.tracking.tracker import Node
+
+    kf = KalmanFilter()
+    rng = np.random.RandomState(5)
+    ids = IdAllocator()
+    tracks = []
+    for i in range(20):
+        t = STrack(np.abs(rng.rand(4)) * 50 + 1, 0.9, Node(1, i),
+                   use_lstm=False)
+        if i % 3 != 2:          # leave some tracks without KF state
+            t.activate(kf, 1, ids)
+            if i % 3 == 1:
+                t.mean, t.covariance = kf.predict(t.mean, t.covariance)
+        tracks.append(t)
+    got = stacked_tlbrs(tracks)
+    want = np.stack([t.tlbr for t in tracks])
+    np.testing.assert_allclose(got, want, atol=1e-12)
