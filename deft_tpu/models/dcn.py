@@ -167,11 +167,19 @@ class DCNv2(nn.Module):
                 out = fn(x[0], offsets[0], mask[0], w, bias,
                          radius=self.offset_range, kernel=self.kernel)[None]
             else:
-                out = jax.vmap(
-                    lambda xi, oi, mi: fn(xi, oi, mi, w, bias,
-                                          radius=self.offset_range,
-                                          kernel=self.kernel)
-                )(x, offsets, mask)
+                # SEQUENTIAL over the batch (lax.map = scan), not vmap: the
+                # backward of the checkpointed per-sample op then holds ONE
+                # sample's per-shift [H, W, KK, C] f32 temps at a time.  The
+                # vmapped backward holds the whole batch's -- measured OOM at
+                # batch-4 dla34 384x1280 (XLA kept ~20 x 324 MB temps of the
+                # ywks,ysc->ywkc backward on a 16 GB v5e).  Spatial dims at
+                # training scale keep the MXU busy without batch parallelism.
+                out = jax.lax.map(
+                    lambda args: fn(*args, w, bias,
+                                    radius=self.offset_range,
+                                    kernel=self.kernel),
+                    (x, offsets, mask),
+                )
             return out.astype(self.dtype) if self.dtype is not None else out
 
         def gather_conv(xb, ob, mb, wt):
