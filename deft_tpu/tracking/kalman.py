@@ -81,10 +81,10 @@ class KalmanFilter:
         motion_cov[:, idx, idx] = np.square(std)
 
         mean = mean @ self._motion_mat.T
+        # batched F P F^T via broadcasting matmul (BLAS) -- measurably
+        # faster than the einsum lowering at a few hundred tracks
         covariance = (
-            np.einsum("ij,njk,lk->nil", self._motion_mat, covariance,
-                      self._motion_mat)
-            + motion_cov
+            self._motion_mat @ covariance @ self._motion_mat.T + motion_cov
         )
         return mean, covariance
 

@@ -121,7 +121,11 @@ def fuse_motion(kf, cost_matrix, tracks, detections, frame_id: int,
         return cost_matrix
     gating_dim = 2 if only_position else 4
     gating_threshold = chi2inv95[gating_dim]
-    measurements = np.asarray([d.to_xyah() for d in detections])
+    # vectorized to_xyah over the detections (fresh STracks: tlwh = _tlwh)
+    tl = np.stack([d.tlwh for d in detections]).astype(np.float64)
+    measurements = tl.copy()
+    measurements[:, :2] += tl[:, 2:] / 2
+    measurements[:, 2] /= np.where(tl[:, 3] != 0, tl[:, 3], 1e-6)
 
     if not use_lstm and only_position:
         # batched Mahalanobis over all tracks at once (the per-track loop is

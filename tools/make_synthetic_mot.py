@@ -15,7 +15,27 @@ import os
 import numpy as np
 
 
-def make_sequence(root, seq, n_frames=40, w=640, h=360, n_obj=5, seed=0):
+def _natural_bg(rng, w, h):
+    """Photographic-statistics background: smooth low-frequency luminance
+    (1/f-ish) with mild desaturated color -- what real video looks like to
+    chroma subsampling, unlike the saturated flat panels of the default
+    generator (the YUV 4:2:0 A/B needs this regime; STATUS r3 #16)."""
+    import cv2
+
+    base = rng.normal(0, 1, (h // 16 + 1, w // 16 + 1, 3)).astype(np.float32)
+    big = cv2.resize(base, (w, h), interpolation=cv2.INTER_CUBIC)
+    fine = rng.normal(0, 0.25, (h, w, 3)).astype(np.float32)
+    img = big + fine
+    img -= img.min()
+    img /= max(float(np.ptp(img)), 1e-6)
+    # compress toward gray: mean luminance 110, chroma spread ~25
+    lum = img.mean(axis=2, keepdims=True)
+    img = 0.75 * lum + 0.25 * img
+    return np.clip(img * 110 + 55, 0, 255).astype(np.uint8)
+
+
+def make_sequence(root, seq, n_frames=40, w=640, h=360, n_obj=5, seed=0,
+                  natural=False):
     import cv2
 
     rng = np.random.RandomState(seed)
@@ -26,6 +46,13 @@ def make_sequence(root, seq, n_frames=40, w=640, h=360, n_obj=5, seed=0):
 
     objs = []
     for i in range(n_obj):
+        if natural:
+            # desaturated, texture-dominant identities (photographic regime)
+            base = rng.randint(70, 180, 3)
+            color = tuple(int(c) for c in
+                          (0.7 * base.mean() + 0.3 * base).astype(int))
+        else:
+            color = tuple(int(c) for c in rng.randint(60, 255, 3))
         objs.append({
             "x": float(rng.randint(10, w // 3)),
             "y": float(rng.randint(10, h - 90)),
@@ -33,14 +60,21 @@ def make_sequence(root, seq, n_frames=40, w=640, h=360, n_obj=5, seed=0):
             "vy": float(rng.uniform(-1.0, 1.0)),
             "w": float(rng.randint(24, 40)),
             "h": float(rng.randint(48, 80)),
-            "color": tuple(int(c) for c in rng.randint(60, 255, 3)),
+            "color": color,
+            "tex_period": int(rng.randint(3, 7)),
+            "tex_gain": float(rng.uniform(0.55, 0.85)),
         })
 
+    bg = _natural_bg(rng, w, h) if natural else None
     gt_rows = []
     for f in range(1, n_frames + 1):
-        img = np.full((h, w, 3), 35, np.uint8)
-        # textured background so the detector has something to learn against
-        img[::17, :, 1] = 60
+        if natural:
+            img = bg.copy()
+        else:
+            img = np.full((h, w, 3), 35, np.uint8)
+            # textured background so the detector has something to learn
+            # against
+            img[::17, :, 1] = 60
         for tid, o in enumerate(objs, start=1):
             x = o["x"] + o["vx"] * (f - 1)
             y = o["y"] + o["vy"] * (f - 1)
@@ -49,8 +83,13 @@ def make_sequence(root, seq, n_frames=40, w=640, h=360, n_obj=5, seed=0):
             x1, y1 = int(x), int(y)
             x2, y2 = int(x + o["w"]), int(y + o["h"])
             img[y1:y2, x1:x2] = o["color"]
-            # simple texture per identity
-            img[y1:y2:4, x1:x2] = tuple(c // 2 for c in o["color"])
+            # per-identity texture: luminance stripes (natural) or the
+            # saturated half-tone rows (default)
+            if natural:
+                img[y1:y2:o["tex_period"], x1:x2] = tuple(
+                    int(c * o["tex_gain"]) for c in o["color"])
+            else:
+                img[y1:y2:4, x1:x2] = tuple(c // 2 for c in o["color"])
             gt_rows.append(
                 f"{f},{tid},{x:.1f},{y:.1f},{o['w']:.1f},{o['h']:.1f},1,1,1"
             )
@@ -65,12 +104,16 @@ def main():
     ap.add_argument("--seqs", type=int, default=2)
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--size", type=str, default="640x360")
+    ap.add_argument("--natural", action="store_true",
+                    help="photographic-statistics textures (smooth "
+                         "desaturated background, luminance-textured "
+                         "objects) -- the regime for the YUV 4:2:0 A/B")
     args = ap.parse_args()
     w, h = (int(x) for x in args.size.split("x"))
     train = os.path.join(args.out, "train")
     for i in range(args.seqs):
         make_sequence(train, f"SYN-{i+1:02d}", n_frames=args.frames,
-                      w=w, h=h, seed=i)
+                      w=w, h=h, seed=i, natural=args.natural)
     print(f"synthetic MOT data at {train}")
 
 

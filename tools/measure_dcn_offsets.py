@@ -49,7 +49,7 @@ def main():
         base = rng.normal(0, 1, (args.input_h // 8, args.input_w // 8, 3))
         img = np.kron(base, np.ones((8, 8, 1)))
         img = img + rng.normal(0, 0.3, img.shape)
-        img = ((img - img.min()) / (img.ptp() + 1e-6) * 255).astype(np.uint8)
+        img = ((img - img.min()) / (np.ptp(img) + 1e-6) * 255).astype(np.uint8)
         x = jnp.asarray(img)[None]
 
         _, inter = model.apply(
