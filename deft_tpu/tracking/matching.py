@@ -140,6 +140,25 @@ def fuse_motion(kf, cost_matrix, tracks, detections, frame_id: int,
         cost_matrix[gd > 5.0 * gating_threshold] = np.inf
         return lambda_ * cost_matrix + 0.05 * (1 - lambda_) * gd
 
+    if use_lstm:
+        # batched gaussian gating for the common (<300 observations) rows:
+        # the gaussian metric is an L2 over dims 3:-1 of the LSTM
+        # prediction vs the measurements (kalman_filter_lstm.py:80-102) --
+        # identical per-row math, one vectorized pass instead of a
+        # per-track loop (the loop was ~9 ms/frame at 100 tracks)
+        gauss = [r for r, t in enumerate(tracks)
+                 if len(t.observations) < 300]
+        if gauss:
+            preds = np.stack([tracks[r].prediction_at_frame(frame_id)
+                              for r in gauss])                    # [G, 4]
+            dd = measurements[None, :, 3:-1] - preds[:, None, 3:-1]
+            gd = np.sqrt(np.sum(dd * dd, axis=2))                 # [G, M]
+            sub = cost_matrix[gauss]
+            sub[gd > 50] = np.inf
+            cost_matrix[gauss] = lambda_ * sub + 0.0005 * (1 - lambda_) * gd
+        if len(gauss) == len(tracks):
+            return cost_matrix
+
     for row, track in enumerate(tracks):
         if not use_lstm:
             gd = kf.gating_distance(track.mean, track.covariance, measurements,
@@ -148,6 +167,8 @@ def fuse_motion(kf, cost_matrix, tracks, detections, frame_id: int,
             cost_matrix[row] = (
                 lambda_ * cost_matrix[row] + 0.05 * (1 - lambda_) * gd
             )
+        elif len(track.observations) < 300:
+            continue  # handled by the batched gaussian pass above
         elif len(track.observations) >= 300:
             gd = kf.gating_distance(track.prediction_at_frame(frame_id),
                                     track.covariance, measurements,

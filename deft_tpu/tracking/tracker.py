@@ -502,23 +502,63 @@ class Tracker:
 
     def get_similarity(self, frame_index: int, strack_pool: Sequence[STrack],
                        num_detections: int) -> np.ndarray:
-        """Per-track median similarity, medians batched across tracks
-        (the reference computes np.median per track per frame,
-        tracker.py:663-688 -- the dominant host cost at 100 tracks)."""
+        """Per-track median similarity, fully batched across tracks.
+
+        The reference computes np.median per track per frame
+        (tracker.py:663-688) -- the dominant host cost at 100 tracks.  Here
+        the frame's row tables are stacked once and every (track, node) row
+        is fetched in ONE fancy-index gather; the medians run as one sorted
+        [T, mm+1, D] slab.  Semantics are identical to
+        STrack.collect_similarity_rows + np.median per track (the median is
+        order-invariant, so the newest-first walk needs no re-reversal)."""
         d = num_detections + 1
-        if not strack_pool:
-            return np.zeros((0, d))
-        per_track = [t.collect_similarity_rows(frame_index, self.recorder)
-                     for t in strack_pool]
-        counts = np.array([0 if r is None else r.shape[0] for r in per_track])
-        rmax = int(counts.max()) if len(counts) else 0
-        out = np.zeros((len(per_track), d))
+        n_trk = len(strack_pool)
+        if n_trk == 0:
+            return np.zeros((0, d), np.float32)
+        out = np.zeros((n_trk, d), np.float32)
+        table = self.recorder.all_similarity.get(frame_index, {})
+        if not table:
+            return out
+        frames = list(table.keys())
+        f2i = {f: j for j, f in enumerate(frames)}
+        pre_ns = [t.shape[0] for t in table.values()]
+        d_tab = next(iter(table.values())).shape[1]  # all rows share n+1
+        mm = 2 if self.dataset == "nuscenes" else 4
+
+        # (frame-slot, row-id) per track: newest-first walk over the node
+        # deque with the exact keep-last-mm-of->(mm+1) rule
+        flat_t, flat_f, flat_r = [], [], []
+        counts = np.zeros(n_trk, np.int64)
+        for i, t in enumerate(strack_pool):
+            sel_f, sel_r = [], []
+            for n in reversed(t.nodes):
+                if frame_index - n.frame_index >= MAX_TRACK_NODE:
+                    break  # nodes are chronological: the rest are older
+                j = f2i.get(n.frame_index)
+                if j is None or n.id >= pre_ns[j]:
+                    continue
+                sel_f.append(j)
+                sel_r.append(n.id)
+            if len(sel_f) > mm + 1:
+                sel_f, sel_r = sel_f[:mm], sel_r[:mm]
+            counts[i] = len(sel_f)
+            flat_t.extend([i] * len(sel_f))
+            flat_f.extend(sel_f)
+            flat_r.extend(sel_r)
+        rmax = int(counts.max())
         if rmax == 0:
             return out
-        padded = np.full((len(per_track), rmax, d), np.inf)
-        for i, r in enumerate(per_track):
-            if r is not None:
-                padded[i, : r.shape[0], : r.shape[1]] = r
+
+        stacked = np.zeros((len(frames), max(pre_ns), d_tab), np.float32)
+        for j, tab in enumerate(table.values()):
+            stacked[j, : tab.shape[0]] = tab
+        rows = stacked[flat_f, flat_r]                        # [K, d_tab]
+
+        # columns beyond the recorder's table width stay +inf, matching the
+        # historical padded-fill behavior when num_detections > max_object
+        padded = np.full((n_trk, rmax, d), np.inf, np.float32)
+        slot = np.concatenate([np.arange(c) for c in counts if c])
+        padded[flat_t, slot, :d_tab] = rows[:, :d]
         srt = np.sort(padded, axis=1)
         for r in np.unique(counts):
             if r == 0:
@@ -528,7 +568,7 @@ class Tracker:
                 med = srt[sel, (r - 1) // 2]
             else:
                 med = (srt[sel, r // 2 - 1] + srt[sel, r // 2]) / 2.0
-            out[sel] = med[:, :d]
+            out[sel] = med
         return out
 
     # -- the cascade -----------------------------------------------------------
