@@ -50,7 +50,11 @@ def main():
         img = np.kron(base, np.ones((8, 8, 1)))
         img = img + rng.normal(0, 0.3, img.shape)
         img = ((img - img.min()) / (np.ptp(img) + 1e-6) * 255).astype(np.uint8)
-        x = jnp.asarray(img)[None]
+        # img2feats feeds the trunk directly (no _maybe_normalize), so apply
+        # the standard input normalization here (models/deft.py:278-286)
+        mean = np.array([0.40789654, 0.44719302, 0.47026115], np.float32)
+        std = np.array([0.28863828, 0.27408164, 0.27809835], np.float32)
+        x = jnp.asarray((img.astype(np.float32) / 255.0 - mean) / std)[None]
 
         _, inter = model.apply(
             variables, x, method="img2feats",
