@@ -24,9 +24,13 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # dla34-dcn layer shapes at 544x960 input: (H, W, Cin, Cout, count/model)
 LAYERS = [
