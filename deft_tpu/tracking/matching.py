@@ -129,14 +129,19 @@ def fuse_motion(kf, cost_matrix, tracks, detections, frame_id: int,
 
     if not use_lstm and only_position:
         # batched Mahalanobis over all tracks at once (the per-track loop is
-        # a hot spot at ~100 tracks/frame)
+        # a hot spot at ~100 tracks/frame); the 2x2 SPD solve is closed-form
+        #   d' S^-1 d = (c dx^2 - 2b dx dy + a dy^2) / (ac - b^2)
+        # (a batched LAPACK cholesky+solve cost ~2 ms/frame at 300 tracks)
         means = np.stack([t.mean[:2] for t in tracks])          # [T, 2]
         covs = np.stack([t.covariance[:2, :2] for t in tracks]) # [T, 2, 2]
-        covs = covs + 1e-8 * np.eye(2)
-        d = measurements[None, :, :2] - means[:, None, :]       # [T, M, 2]
-        l = np.linalg.cholesky(covs)
-        z = np.linalg.solve(l, d.transpose(0, 2, 1))            # [T, 2, M]
-        gd = np.sum(z * z, axis=1)                              # [T, M]
+        a = covs[:, 0, 0] + 1e-8
+        b = covs[:, 0, 1]
+        c = covs[:, 1, 1] + 1e-8
+        det = a * c - b * b
+        dx = measurements[None, :, 0] - means[:, None, 0]       # [T, M]
+        dy = measurements[None, :, 1] - means[:, None, 1]
+        gd = (c[:, None] * dx * dx - 2.0 * b[:, None] * dx * dy
+              + a[:, None] * dy * dy) / det[:, None]
         cost_matrix[gd > 5.0 * gating_threshold] = np.inf
         return lambda_ * cost_matrix + 0.05 * (1 - lambda_) * gd
 

@@ -84,6 +84,9 @@ class DeviceFeatureRecorder:
         self.slot_of: Dict[int, int] = {}
         self.all_boxes: Dict[int, np.ndarray] = {}
         self.all_similarity: Dict[int, Dict[int, np.ndarray]] = {}
+        # (frame_index, slab [P, pre_n_max, n+1], {pre_frame: rank}, pre_ns):
+        # the newest frame's decayed similarity as ONE contiguous array
+        self.slab = None
 
     def update(self, frame_index: int, features, boxes: np.ndarray):
         """features: [n, E] (device or numpy); boxes: [n, 4] tlbr.
@@ -132,18 +135,34 @@ class DeviceFeatureRecorder:
         m_frame = freshness_window(self.dataset)
         windowed = sims.shape[0] != self.window
         self.all_similarity[frame_index] = {}
-        for rank, pre_frame in enumerate(reversed(self.frames)):
-            df = frame_index - pre_frame
-            delta = (DECAY if df < m_frame else DECAY2) ** (df / 3.0)
-            s = self.slot_of[pre_frame]
-            pre_n = int(self.counts[s])
-            if windowed:
-                row = (sims[rank][:pre_n, : n + 1] * delta
-                       if rank < sims.shape[0]
-                       else np.zeros((pre_n, n + 1), np.float32))
-            else:
-                row = sims[s][:pre_n, : n + 1] * delta
-            self.all_similarity[frame_index][pre_frame] = row
+        # ONE contiguous decayed slab [P, pre_n_max, n+1] for the frame; the
+        # per-pre-frame dict rows are views into it, and Tracker.get_similarity
+        # gathers straight from the slab instead of re-stacking the dict
+        # (the per-call re-stack was ~2 ms/frame at bench load)
+        prev = list(reversed(self.frames))      # newest pre-frame first
+        p = len(prev)
+        pre_n_max = int(self.counts.max()) if p else 0
+        slab = np.zeros((p, pre_n_max, n + 1), np.float32)
+        slab_f2i: Dict[int, int] = {}
+        slab_pre_ns = np.zeros((p,), np.int64)
+        if p:
+            pf = np.asarray(prev, np.int64)
+            dfv = frame_index - pf
+            delta = np.where(dfv < m_frame, DECAY, DECAY2) ** (dfv / 3.0)
+            slots = np.asarray([self.slot_of[f] for f in prev], np.int64)
+            slab_pre_ns[:] = self.counts[slots]
+            k = min(p, sims.shape[0]) if windowed else p
+            src = (np.asarray(sims[:k], np.float32) if windowed
+                   else np.asarray(sims, np.float32)[slots])
+            mask = (np.arange(pre_n_max)[None, :]
+                    < slab_pre_ns[:k, None])[:, :, None]
+            slab[:k] = (src[:, :pre_n_max, : n + 1]
+                        * delta[:k, None, None].astype(np.float32) * mask)
+            tab = self.all_similarity[frame_index]
+            for rank, pre_frame in enumerate(prev):
+                slab_f2i[pre_frame] = rank
+                tab[pre_frame] = slab[rank, : slab_pre_ns[rank]]
+        self.slab = (frame_index, slab, slab_f2i, slab_pre_ns)
 
         # ring write bookkeeping
         slot = self.ptr % self.window
@@ -516,58 +535,74 @@ class Tracker:
         if n_trk == 0:
             return np.zeros((0, d), np.float32)
         out = np.zeros((n_trk, d), np.float32)
-        table = self.recorder.all_similarity.get(frame_index, {})
-        if not table:
+        slab_entry = getattr(self.recorder, "slab", None)
+        if slab_entry is None or slab_entry[0] != frame_index:
             return out
-        frames = list(table.keys())
-        f2i = {f: j for j, f in enumerate(frames)}
-        pre_ns = [t.shape[0] for t in table.values()]
-        d_tab = next(iter(table.values())).shape[1]  # all rows share n+1
+        _, slab, f2i, pre_ns = slab_entry
+        d_tab = slab.shape[2]
         mm = 2 if self.dataset == "nuscenes" else 4
 
-        # (frame-slot, row-id) per track: newest-first walk over the node
-        # deque with the exact keep-last-mm-of->(mm+1) rule
-        flat_t, flat_f, flat_r = [], [], []
-        counts = np.zeros(n_trk, np.int64)
+        # (frame-slot, row-id) per track with the exact keep-newest-mm-of->
+        # (mm+1) rule, vectorized: ONE pass collects every node triple, the
+        # age filter / rank lookup / newest-mm cut run as numpy ops (the
+        # per-track python walk was the cascade's top cost at 400-track
+        # pools).  The per-track walk semantics it replaces: newest-first,
+        # break at the first node older than MAX_TRACK_NODE (nodes are
+        # chronological so break == filter), skip nodes absent from the
+        # table, keep the newest mm when more than mm+1 survive.
+        tt_l, tf_l, ti_l = [], [], []
         for i, t in enumerate(strack_pool):
-            sel_f, sel_r = [], []
-            for n in reversed(t.nodes):
-                if frame_index - n.frame_index >= MAX_TRACK_NODE:
-                    break  # nodes are chronological: the rest are older
-                j = f2i.get(n.frame_index)
-                if j is None or n.id >= pre_ns[j]:
-                    continue
-                sel_f.append(j)
-                sel_r.append(n.id)
-            if len(sel_f) > mm + 1:
-                sel_f, sel_r = sel_f[:mm], sel_r[:mm]
-            counts[i] = len(sel_f)
-            flat_t.extend([i] * len(sel_f))
-            flat_f.extend(sel_f)
-            flat_r.extend(sel_r)
+            nd = t.nodes
+            tt_l.extend([i] * len(nd))
+            for n in nd:                       # oldest -> newest
+                tf_l.append(n.frame_index)
+                ti_l.append(n.id)
+        tw = np.asarray(tt_l, np.int64)
+        df = frame_index - np.asarray(tf_l, np.int64)
+        idd = np.asarray(ti_l, np.int64)
+        # frame -> slab rank lookup by age difference
+        rank_of = np.full(MAX_TRACK_NODE, -1, np.int64)
+        for pre_frame, rank in f2i.items():
+            age = frame_index - pre_frame
+            if 0 < age < MAX_TRACK_NODE:
+                rank_of[age] = rank
+        j = rank_of[np.clip(df, 0, MAX_TRACK_NODE - 1)]
+        ok = (df < MAX_TRACK_NODE) & (df > 0) & (j >= 0)
+        ok[ok] &= idd[ok] < pre_ns[j[ok]]
+        vi = np.where(ok)[0]                   # grouped by track, oldest first
+        if vi.size == 0:
+            return out
+        tv = tw[vi]
+        cnt_all = np.bincount(tv, minlength=n_trk)
+        starts = np.cumsum(cnt_all) - cnt_all
+        rev = cnt_all[tv] - 1 - (np.arange(vi.size) - starts[tv])
+        keep = (cnt_all[tv] <= mm + 1) | (rev < mm)
+        flat_t = tv[keep]
+        flat_f = j[vi][keep]
+        flat_r = idd[vi][keep]
+        slot = rev[keep]                       # distinct per track, < mm+1
+        counts = np.where(cnt_all > mm + 1, mm, cnt_all)
         rmax = int(counts.max())
         if rmax == 0:
             return out
 
-        stacked = np.zeros((len(frames), max(pre_ns), d_tab), np.float32)
-        for j, tab in enumerate(table.values()):
-            stacked[j, : tab.shape[0]] = tab
-        rows = stacked[flat_f, flat_r]                        # [K, d_tab]
+        rows = slab[flat_f, flat_r]                           # [K, d_tab]
 
         # columns beyond the recorder's table width stay +inf, matching the
-        # historical padded-fill behavior when num_detections > max_object
-        padded = np.full((n_trk, rmax, d), np.inf, np.float32)
-        slot = np.concatenate([np.arange(c) for c in counts if c])
-        padded[flat_t, slot, :d_tab] = rows[:, :d]
-        srt = np.sort(padded, axis=1)
+        # historical padded-fill behavior when num_detections > max_object;
+        # layout [T, d, rmax] so the median's sort axis is contiguous
+        padded = np.full((n_trk, d, rmax), np.inf, np.float32)
+        padded[flat_t, :d_tab, slot] = rows[:, :d]
+        padded.sort(axis=2)
         for r in np.unique(counts):
             if r == 0:
                 continue
             sel = counts == r
             if r % 2:
-                med = srt[sel, (r - 1) // 2]
+                med = padded[sel, :, (r - 1) // 2]
             else:
-                med = (srt[sel, r // 2 - 1] + srt[sel, r // 2]) / 2.0
+                med = (padded[sel, :, r // 2 - 1]
+                       + padded[sel, :, r // 2]) / 2.0
             out[sel] = med
         return out
 

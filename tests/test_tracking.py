@@ -286,3 +286,69 @@ def test_stacked_tlbrs_matches_property():
     got = stacked_tlbrs(tracks)
     want = np.stack([t.tlbr for t in tracks])
     np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_assignment_rect_matches_padded_square():
+    """The rectangular n x (m+n) encoding with dummy diag = thresh must
+    produce the padded-square (lapjv extend_cost/cost_limit) optimum:
+    square objective c(M) - k*thr + const == rect objective with d = thr
+    (assignment.py).  Randomized A/B on objective value and matched sets."""
+    from scipy.optimize import linear_sum_assignment as lsa
+
+    def padded_square(cost, thresh):
+        n, m = cost.shape
+        big = np.full((n + m, n + m), 1e9)
+        big[:n, :m] = np.minimum(np.nan_to_num(cost, posinf=1e9), 1e9)
+        big[n:, m:] = 0.0
+        np.fill_diagonal(big[:n, m:], thresh / 2.0)
+        np.fill_diagonal(big[n:, :m], thresh / 2.0)
+        rows, cols = lsa(big)
+        matches = [(r, c) for r, c in zip(rows, cols) if r < n and c < m]
+        return matches
+
+    rng = np.random.RandomState(0)
+    for trial in range(60):
+        n = rng.randint(1, 12)
+        m = rng.randint(1, 12)
+        cost = rng.rand(n, m) * 1.4
+        # sprinkle gating infs like fuse_motion does
+        cost[rng.rand(n, m) < 0.3] = np.inf
+        thresh = float(rng.choice([0.3, 0.7, 0.9, 1.1]))
+        ref = padded_square(cost, thresh)
+        got, ur, uc = linear_assignment(cost, thresh)
+        obj_ref = sum(cost[r, c] for r, c in ref) - len(ref) * thresh
+        obj_got = sum(cost[r, c] for r, c in got) - len(got) * thresh
+        assert np.isclose(obj_ref, obj_got), (trial, ref, got)
+        assert all(cost[r, c] <= thresh for r, c in got)
+        # unmatched bookkeeping is exact
+        assert sorted({r for r, _ in got} | set(ur)) == list(range(n))
+        assert sorted({c for _, c in got} | set(uc)) == list(range(m))
+
+
+def test_get_similarity_matches_per_track_median():
+    """Tracker.get_similarity's vectorized gather/median must equal the
+    naive per-track STrack.get_similarity path (tracker.py:663-688
+    semantics) on a live cascade's pools."""
+    rng = np.random.RandomState(3)
+    trk = Tracker("mot", max_object=8, embed_dim=E,
+                  similarity_fn=mock_similarity, use_lstm=False)
+    for t in range(12):
+        ids = [i for i in range(6) if (t + i) % 5 != 0]  # churn
+        dets, embs = [], []
+        for i in ids:
+            x = 20.0 + 35 * i + 2 * t
+            dets.append({"bbox": np.array([x, 60.0, x + 30, 120.0]),
+                         "score": 0.9})
+            embs.append(identity_embedding(i))
+        trk.update(dets, np.stack(embs))
+    pool = trk.tracked_stracks + trk.lost_stracks
+    assert len(pool) >= 4
+    n_det = len(dets)
+    batched = trk.get_similarity(trk.frame_id, pool, n_det)
+    for i, tr in enumerate(pool):
+        naive = tr.get_similarity(trk.frame_id, trk.recorder)
+        if naive is None:
+            assert np.allclose(batched[i], 0.0)
+        else:
+            np.testing.assert_allclose(
+                batched[i, : naive.shape[0]], naive, rtol=1e-6, atol=1e-6)
