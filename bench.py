@@ -66,6 +66,10 @@ def main():
                     help="batch the model forward over each chunk "
                          "(frame_chunk_batched) instead of scanning whole "
                          "frame programs -- output-identical A/B knob")
+    ap.add_argument("--device-warp", action="store_true",
+                    help="warp the input affine on device (two MXU matmuls; "
+                         "raw uint8 uploads -- wins on locally-attached "
+                         "TPUs, costs 4x the wire bytes through a relay)")
     ap.add_argument("--yuv", action="store_true",
                     help="upload planar YUV 4:2:0 frames (HALF the wire "
                          "bytes; chroma 2x2-averaged like the H.264 yuv420p "
@@ -90,13 +94,13 @@ def main():
                          track_thresh=1e-3, compute_dtype=dtype,
                          sims_quant=True, delta_upload=args.delta,
                          chunk_batched=args.chunk_batched,
-                         yuv_upload=args.yuv)
+                         yuv_upload=args.yuv, device_warp=args.device_warp)
         frames, warmup = 12, 4
     else:
         cfg = mot_config(track_thresh=1e-3, compute_dtype=dtype,
                          sims_quant=True, delta_upload=args.delta,
                          chunk_batched=args.chunk_batched,
-                         yuv_upload=args.yuv)
+                         yuv_upload=args.yuv, device_warp=args.device_warp)
         frames, warmup = args.frames, args.warmup
 
     det = Detector(cfg)
@@ -120,7 +124,8 @@ def main():
                        for t in range(3 * runner.chunk)]
         tune_scores = runner.auto_tune(tune_frames, verbose=True)
         print(f"# auto_tune picked stacked={runner.stacked} "
-              f"force_resident={runner.force_resident}", file=sys.stderr)
+              f"force_resident={runner.force_resident} "
+              f"upload_parallel={runner.upload_parallel}", file=sys.stderr)
 
     seq = [make_synthetic_frame(t, fh, fw) for t in range(frames)]
     import contextlib
@@ -172,6 +177,8 @@ def main():
         rtts.append((time.time() - td) * 1000.0)
     wire_rtt = sorted(rtts)[len(rtts) // 2]
 
+    warped0, meta0 = runner.warp(seq[0])
+    probe_wtf = runner._warp_tf(meta0)
     warps = [runner.warp(seq[i % len(seq)])[0] for i in range(runner.chunk)]
     if getattr(runner, "_yuv_mode", False):
         from deft_tpu.inference.runner import pack_yuv420
@@ -210,7 +217,8 @@ def main():
         b = jax.device_put(np.ascontiguousarray(warps[i]))
         jax.device_get(force(b))
         bufs.append(b)
-    outs = runner._step(det.variables, bufs[0], runner.state, thresh, None)
+    outs = runner._step(det.variables, bufs[0], runner.state, thresh,
+                        None, probe_wtf)
     jax.block_until_ready(outs)
     state = outs[2]
 
@@ -218,20 +226,20 @@ def main():
     if runner.chunk > 1:
         frames_t = tuple(bufs[i % len(bufs)] for i in range(runner.chunk))
         c_out = runner._step_chunk(det.variables, frames_t, state, thresh,
-                                   None)
+                                   None, probe_wtf)
         jax.block_until_ready(c_out)
         state = c_out[2]
         t1s, tcs = [], []
         for i in range(n_dev):
             td = time.time()
             outs = runner._step(det.variables, bufs[i % len(bufs)], state,
-                                thresh, None)
+                                thresh, None, probe_wtf)
             jax.block_until_ready(outs)
             t1s.append(time.time() - td)
             state = outs[2]
             td = time.time()
             c_out = runner._step_chunk(det.variables, frames_t, state,
-                                       thresh, None)
+                                       thresh, None, probe_wtf)
             jax.block_until_ready(c_out)
             tcs.append(time.time() - td)
             state = c_out[2]
@@ -243,7 +251,7 @@ def main():
     mfu = None
     try:
         lowered = runner._step.lower(det.variables, bufs[0], state, thresh,
-                                     None)
+                                     None, probe_wtf)
         cost = lowered.compile().cost_analysis()
         flops = float((cost or {}).get("flops", 0.0))
         plat = jax.devices()[0].platform
@@ -256,8 +264,7 @@ def main():
     # ---- e2e attribution from the measured run itself (main-thread wall
     # buckets sum to ~e2e; worker-side stages overlap and are informative) --
     e2e_ms = elapsed / frames * 1000.0
-    main_keys = ("warp", "host_prep", "stage_wait", "dispatch", "chain_wait",
-                 "fetch_wait", "cascade")
+    main_keys = runner.main_keys()
     attributed = sum(buckets.get(k, 0.0) for k in main_keys)
     unattributed = e2e_ms - attributed
 
@@ -282,27 +289,30 @@ def main():
     for k in main_keys:
         if buckets.get(k):
             out[f"t_{k}_ms"] = round(buckets[k], 1)
-    if buckets.get("upload_wire"):
-        out["t_upload_wire_ms"] = round(buckets["upload_wire"], 1)
-    if buckets.get("chain_dispatch"):
-        out["t_chain_dispatch_ms"] = round(buckets["chain_dispatch"], 1)
+    for k in ("upload_wire", "chain_dispatch", "fetch_wait", "cascade"):
+        if k not in main_keys and buckets.get(k):
+            out[f"t_{k}_ms"] = round(buckets[k], 1)
     print(json.dumps(out))
     print(f"# frames={frames} elapsed={elapsed:.2f}s tracks/frame={n_tracks:.1f} "
           f"dtype={dtype} pipeline_depth={runner.depth} chunk={runner.chunk} "
           f"sim_window={runner.sim_window} stacked={runner.stacked} "
           f"force_resident={runner.force_resident} "
+          f"upload_parallel={runner.upload_parallel} "
           f"runs_fps={[round(f, 2) for f in fps_runs]}", file=sys.stderr)
     if tune_scores:
         print(f"# auto_tune fps: " + ", ".join(
             f"{k}={v:.2f}" for k, v in tune_scores.items()), file=sys.stderr)
     bstr = " + ".join(f"{k} {buckets.get(k, 0.0):.1f}" for k in main_keys
                       if buckets.get(k))
+    ostr = ", ".join(
+        f"{k} {buckets.get(k, 0.0):.1f}"
+        for k in ("upload_wire", "chain_dispatch", "fetch_wait", "cascade")
+        if k not in main_keys and buckets.get(k))
     print(f"# e2e attribution (median run, main-thread wall): {bstr} "
           f"= {attributed:.1f} of {e2e_ms:.1f} ms/frame "
-          f"(unattributed {unattributed:.1f}); worker-side overlap: "
-          f"upload_wire {buckets.get('upload_wire', 0.0):.1f}, "
-          f"chain_dispatch {buckets.get('chain_dispatch', 0.0):.1f} ms/frame; "
-          f"wire probe: rtt {wire_rtt:.1f} ms, frame {frame_mbps:.1f} MB/s"
+          f"(unattributed {unattributed:.1f}); worker-side overlap: {ostr} "
+          f"ms/frame; wire probe: rtt {wire_rtt:.1f} ms, "
+          f"frame {frame_mbps:.1f} MB/s"
           + (f", chunk {chunk_mbps:.1f} MB/s" if chunk_mbps else ""),
           file=sys.stderr)
 

@@ -207,6 +207,14 @@ class Config:
     # single-stream latency, more relay round trips).
     # PipelinedRunner.auto_tune() measures both on real frames and picks.
     stacked_upload: bool = True
+    # warp the input affine ON DEVICE (ops/warp.py: two MXU matmuls from the
+    # separable rot=0 transform) instead of host cv2.warpAffine: the host
+    # ships the RAW uint8 frame + 6 coefficients.  Kills the ~5 ms/frame
+    # main-thread warp but uploads full-resolution bytes (1080p: 6.2 MB vs
+    # 1.6 MB warped) -- a clear win on locally-attached TPUs (PCIe GB/s),
+    # a loss through bandwidth-starved relays.  fix_res inputs only;
+    # exclusive with delta/yuv uploads and public_det.
+    device_warp: bool = False
     align_corners: bool = True                # torch-1.2 grid_sample semantics
 
     # ---- derived (filled by finalize / wire_dataset) --------------------------

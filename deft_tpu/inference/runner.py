@@ -40,6 +40,44 @@ class _Ready:
         return self._value
 
 
+class TrackView:
+    """Frozen per-frame snapshot of an STrack's consumer-visible state.
+
+    The cascade worker keeps mutating live STrack objects while the caller
+    holds frame t's results (the worker may already be on frame t+1), so the
+    async runner returns immutable views materialized at cascade time.
+    Exposes the attribute surface test.py / visualize.py read: tlwh/tlbr,
+    track_id, score, classe, is_activated, depth, ddd fields.
+    """
+
+    __slots__ = ("track_id", "score", "classe", "is_activated", "tlwh",
+                 "depth", "ddd_submission", "org_ddd_box", "ddd_bbox",
+                 "frame_id", "start_frame")
+
+    def __init__(self, t):
+        self.track_id = t.track_id
+        self.score = t.score
+        self.classe = t.classe
+        self.is_activated = t.is_activated
+        self.tlwh = t.tlwh                      # property already copies
+        self.depth = t.depth
+        self.ddd_submission = t.ddd_submission
+        self.org_ddd_box = t.org_ddd_box
+        self.ddd_bbox = t.ddd_bbox
+        self.frame_id = t.frame_id
+        self.start_frame = t.start_frame
+
+    @property
+    def tlbr(self):
+        ret = self.tlwh.copy()
+        ret[2:] += ret[:2]
+        return ret
+
+    @property
+    def end_frame(self):
+        return self.frame_id
+
+
 def pack_yuv420(bgr: np.ndarray) -> np.ndarray:
     """Host half of Config.yuv_upload: BGR uint8 [H, W, 3] -> planar YUV
     4:2:0 packed [H*3/2, W] uint8 (Y plane on top; the bottom H/2 rows hold
@@ -106,16 +144,25 @@ class PipelinedRunner:
             raise ValueError("--yuv_upload and --delta_upload are mutually "
                              "exclusive (pick one wire encoding)")
         yuv_in = self._yuv_mode
+        self._dw_mode = (cfg.device_warp and not cfg.public_det
+                         and not cfg.keep_res and cfg.fix_short <= 0
+                         and cfg.input_h > 0)
+        if self._dw_mode and (cfg.yuv_upload or cfg.delta_upload):
+            raise ValueError("--device_warp is exclusive with "
+                             "--yuv_upload/--delta_upload (the device warp "
+                             "consumes RAW frames)")
+        warp_out = (cfg.input_h, cfg.input_w) if self._dw_mode else None
 
-        def step(variables, image, state, thresh, parity_tf):
+        def step(variables, image, state, thresh, parity_tf, warp_tf):
             return model.apply(
                 variables, image[None], state, thresh, k=cfg.K,
                 class_filter=class_filter, sims_quant=cfg.sims_quant,
                 sim_window=sim_window, parity_tf=parity_tf,
-                flip_test=cfg.flip_test, yuv_in=yuv_in, method="frame_step",
+                flip_test=cfg.flip_test, yuv_in=yuv_in,
+                warp_tf=warp_tf, warp_out=warp_out, method="frame_step",
             )
 
-        def step_chunk(variables, frames, state, thresh, parity_tf):
+        def step_chunk(variables, frames, state, thresh, parity_tf, warp_tf):
             # frames: either a tuple of [H, W, 3] arrays pre-staged on device
             # by the uploader thread (per-frame staging) or ONE stacked
             # [T, H, W, 3] buffer shipped as a single device_put (stacked
@@ -127,6 +174,7 @@ class PipelinedRunner:
                 class_filter=class_filter, sims_quant=cfg.sims_quant,
                 sim_window=sim_window, parity_tf=parity_tf,
                 flip_test=cfg.flip_test, yuv_in=yuv_in,
+                warp_tf=warp_tf, warp_out=warp_out,
                 method=("frame_chunk_batched" if cfg.chunk_batched
                         else "frame_chunk"),
             )
@@ -164,7 +212,22 @@ class PipelinedRunner:
         # device_put inline.  Inside the async chain nothing blocks on the
         # dispatch itself, so lazy is the default; auto_tune() measures both.
         self.force_resident = False
+        # ship each chunk's stacked buffer on the 3-worker upload pool
+        # (forced resident) so consecutive chunks' wire times OVERLAP; the
+        # chain worker only orders dispatches.  Wins on per-stream-limited
+        # transports; auto_tune() measures it.
+        self.upload_parallel = False
         self._chain_pool = ThreadPoolExecutor(max_workers=1)
+        # cascade worker: the fetch wait + unpack + post_process + Hungarian
+        # cascade run on ONE dedicated worker, in dispatch order (the tracker
+        # state is serial), overlapping the main thread's warp/dispatch of
+        # later frames.  The main thread only blocks on a cascade future once
+        # more than `casc_depth` chunks are outstanding -- in steady state
+        # that future resolved while the device computed (VERDICT r4 #2:
+        # "run the cascade on a worker pipelined against warp/dispatch").
+        self.cascade_async = True
+        self.casc_depth = 1
+        self._casc_pool = ThreadPoolExecutor(max_workers=1)
         # per-frame wall-time attribution buckets (ms totals; see timings())
         self._t_lock = threading.Lock()
         self.buckets: Dict[str, float] = {}
@@ -190,12 +253,22 @@ class PipelinedRunner:
     def timings(self) -> Dict[str, float]:
         """ms/frame per bucket since the last reset.
 
-        Main-thread buckets (sum ~ e2e wall): warp, host_prep, stage_wait,
-        dispatch, chain_wait, fetch_wait, cascade.  Worker-side stage costs
-        (overlap the main thread; informative): upload_wire, chain_dispatch.
+        Main-thread buckets (sum ~ e2e wall): see ``main_keys()``.
+        Worker-side stage costs (overlap the main thread; informative):
+        upload_wire, chain_dispatch, and -- when the cascade worker is on --
+        fetch_wait + cascade.
         """
         n = max(self._frames_done, 1)
         return {k: v / n for k, v in sorted(self.buckets.items())}
+
+    def main_keys(self) -> tuple:
+        """Bucket names charged to the MAIN thread's wall clock (their sum
+        approximates e2e ms/frame; everything else overlaps on workers)."""
+        base = ("warp", "host_prep", "stage_wait", "dispatch", "chain_wait",
+                "casc_wait")
+        if not self.cascade_async:
+            base = base + ("fetch_wait", "cascade")
+        return base
 
     def auto_tune(self, frames, metas=None, verbose: bool = False) -> dict:
         """Measure the staging modes on a few real frames and pick the
@@ -204,30 +277,37 @@ class PipelinedRunner:
         drifts).  Modes swept (chunked dispatch only; chunk==1 keeps
         per-frame forced staging):
 
-          stacked+lazy    one device_put per chunk, dispatch consumes it
-          stacked+forced  one device_put per chunk, forced resident first
-          perframe        per-frame forced staging on the 3-worker pool
+          stacked+lazy     one device_put per chunk, dispatch consumes it
+          stacked+forced   one device_put per chunk, forced resident first
+          stacked+parallel chunk uploads fan out on the 3-worker pool
+                           (forced resident), dispatches ordered on the
+                           chain worker -- overlapping consecutive chunks'
+                           wire time on per-stream-limited transports
+          perframe         per-frame forced staging on the 3-worker pool
 
         Runs each mode over ``frames`` (>= 2 chunks recommended), restores
-        the tracker state, sets self.stacked/self.force_resident to the
-        winner, and returns {mode: fps}.  Callers should warm up (compile)
-        first; track_sequence here reuses the already-jitted programs."""
+        the tracker state, sets self.stacked/self.force_resident/
+        self.upload_parallel to the winner, and returns {mode: fps}.
+        Callers should warm up (compile) first; track_sequence here reuses
+        the already-jitted programs."""
         if self.chunk <= 1 or self.cfg.public_det:
             return {}
-        sweep = [("stacked+lazy", True, False),
-                 ("stacked+forced", True, True),
-                 ("perframe", False, False)]
+        sweep = [("stacked+lazy", True, False, False),
+                 ("stacked+forced", True, True, False),
+                 ("stacked+parallel", True, False, True),
+                 ("perframe", False, False, False)]
         scores = {}
-        for name, stacked, forced in sweep:
+        for name, stacked, forced, par in sweep:
             self.reset()
             self.stacked, self.force_resident = stacked, forced
+            self.upload_parallel = par
             t0 = time.time()
             self.track_sequence(frames, metas)
             scores[name] = len(frames) / (time.time() - t0)
             if verbose:
                 print(f"# auto_tune {name}: {scores[name]:.2f} fps")
         best = max(scores, key=scores.get)
-        _, self.stacked, self.force_resident = next(
+        _, self.stacked, self.force_resident, self.upload_parallel = next(
             s for s in sweep if s[0] == best)
         self.reset()
         return scores
@@ -235,7 +315,13 @@ class PipelinedRunner:
     def reset(self):
         jnp = self._jnp
         cfg = self.cfg
-        # drain in-flight chains/fetches before touching the donated state
+        # drain in-flight cascades/chains/fetches before touching the donated
+        # state (the cascade worker mutates the tracker)
+        for _, fut in getattr(self, "_casc_futs", []):
+            try:
+                fut.result()
+            except Exception:
+                pass
         if getattr(self, "_pending", None):
             for item in self._pending:
                 fut = item.get("chain") or item.get("future")
@@ -267,6 +353,7 @@ class PipelinedRunner:
                 (cfg.input_h, cfg.input_w, 3), np.uint8
             )
         self._pending: List[Dict] = []
+        self._casc_futs: List = []
         self._chunk_buf: List = []
         self._ring_dirty = False
         self.det.reset_tracking()
@@ -287,6 +374,13 @@ class PipelinedRunner:
             return buf
 
         return self._upload_pool.submit(ship, warped)
+
+    def _warp_tf(self, frame_meta: dict):
+        """[6] separable inverse transform for --device_warp (None when the
+        host warped)."""
+        if not self._dw_mode:
+            return None
+        return np.asarray(frame_meta["warp_tf"], np.float32)
 
     def _parity_tf(self, frame_meta: dict):
         """[8] inverse-affine rows + original dims for --embed_parity
@@ -316,6 +410,7 @@ class PipelinedRunner:
             self.state,
             self._jnp.float32(self.cfg.out_thresh),
             self._parity_tf(frame_meta),
+            self._warp_tf(frame_meta),
         )
         packed, sims, self.state = outs
         fut = self._fetch_pool.submit(self._jax.device_get, (packed, sims))
@@ -349,6 +444,33 @@ class PipelinedRunner:
             return sims.astype(np.float32) / 255.0
         return sims.astype(np.float32)
 
+    # ---- cascade worker plumbing ---------------------------------------------
+
+    def _enqueue_finish(self, item, chunked: bool):
+        """Queue one pending item's finish (fetch wait + cascade) on the
+        cascade worker; the single worker keeps tracker updates in dispatch
+        order.  Synchronous fallback when cascade_async is off."""
+        fn = self._finish_chunk if chunked else self._finish
+        if self.cascade_async:
+            self._casc_futs.append(
+                (chunked, self._casc_pool.submit(fn, item)))
+        else:
+            self._casc_futs.append((chunked, _Ready(fn(item))))
+
+    def _pop_ready(self, out: List, drain: bool = False):
+        """Block on cascade futures beyond casc_depth (steady state: already
+        resolved) and append their frame results to ``out``."""
+        while self._casc_futs and (drain
+                                   or len(self._casc_futs) > self.casc_depth):
+            chunked, fut = self._casc_futs.pop(0)
+            t0 = time.time()
+            res = fut.result()
+            self._acc("casc_wait", time.time() - t0)
+            if chunked:
+                out.extend(res)        # chunk: list of per-frame lists
+            else:
+                out.append(res)
+
     def _finish(self, item) -> List:
         from deft_tpu.models.deft import unpack_dets
 
@@ -358,6 +480,8 @@ class PipelinedRunner:
             self._acc("fetch_wait", time.time() - t0)
             t0 = time.time()
             out = self.det.tracker.update(item["public"], None, sims=sims)
+            if self.cascade_async:
+                out = [TrackView(t) for t in out]
             self._acc("cascade", time.time() - t0)
             self._frames_done += 1
             return out
@@ -377,6 +501,8 @@ class PipelinedRunner:
         results = results[:n_valid] if len(results) > n_valid else results
         sims = self._desims(sims)
         out = self.det.tracker.update(results, None, sims=sims)
+        if self.cascade_async:
+            out = [TrackView(t) for t in out]
         self._acc("cascade", time.time() - t0)
         self._frames_done += 1
         return out
@@ -391,15 +517,13 @@ class PipelinedRunner:
         return self.submit_warped(warped, frame_meta)
 
     def flush(self) -> List[List]:
+        out: List = []
         if self.chunk > 1:
             self._dispatch_chunk()
-            out = []
-            for item in self._pending:
-                out.extend(self._finish_chunk(item))
-            self._pending = []
-            return out
-        out = [self._finish(item) for item in self._pending]
+        for item in self._pending:
+            self._enqueue_finish(item, chunked=(self.chunk > 1))
         self._pending = []
+        self._pop_ready(out, drain=True)
         return out
 
     def submit_warped(self, warped: np.ndarray, frame_meta: dict):
@@ -421,29 +545,33 @@ class PipelinedRunner:
             # stacked staging: buffer the HOST array; the chunk ships as one
             # device_put on the chain worker (no per-frame staging RPCs)
             self._chunk_buf.append((warped, frame_meta))
-            out = []
+            out: List = []
             if len(self._chunk_buf) >= self.chunk:
                 self._dispatch_chunk()
             while len(self._pending) > self.depth:
-                out.extend(self._finish_chunk(self._pending.pop(0)))
+                self._enqueue_finish(self._pending.pop(0), chunked=True)
+            self._pop_ready(out)
             return out or None
         wfut = self._stage_upload(warped)
         if self.chunk > 1:
             return self._submit_chunked(wfut, frame_meta)
         self._pending.append(self._dispatch_warped(wfut, frame_meta))
-        if len(self._pending) > self.depth:
-            return self._finish(self._pending.pop(0))
-        return None
+        out = []
+        while len(self._pending) > self.depth:
+            self._enqueue_finish(self._pending.pop(0), chunked=False)
+        self._pop_ready(out)
+        return out[0] if out else None
 
     # ---- chunked dispatch (one round trip per `chunk` frames) ----------------
 
     def _submit_chunked(self, wfut, frame_meta):
         self._chunk_buf.append((wfut, frame_meta))
-        out = []
+        out: List = []
         if len(self._chunk_buf) >= self.chunk:
             self._dispatch_chunk()
         while len(self._pending) > self.depth:
-            out.extend(self._finish_chunk(self._pending.pop(0)))
+            self._enqueue_finish(self._pending.pop(0), chunked=True)
+        self._pop_ready(out)
         return out or None
 
     def _dispatch_chunk(self):
@@ -462,6 +590,10 @@ class PipelinedRunner:
             stack.append(stack[-1])
         self._chunk_buf = []
         ptf = self._parity_tf(metas[0])
+        # fix_res geometry is constant across the sequence, so metas[0]'s
+        # transform serves the whole chunk (asserted by _dw_mode: fix_res
+        # only)
+        wtf = self._warp_tf(metas[0])
         thresh = self._jnp.float32(self.cfg.out_thresh)
 
         if self.stacked:
@@ -472,15 +604,31 @@ class PipelinedRunner:
             host_stack = np.stack(stack)
             self._acc("host_prep", time.time() - t0)
 
-            def chain(host_stack=host_stack):
-                t0 = time.time()
-                buf = self._jax.device_put(host_stack)
-                if self.force_resident:
+            upfut = None
+            if self.upload_parallel:
+                # start the (forced-resident) upload on the 3-worker pool NOW
+                # so consecutive chunks' wire times overlap each other; the
+                # chain worker only orders the dispatches.  Wins when the
+                # transport's bandwidth is per-stream limited.
+                def ship(arr=host_stack):
+                    buf = self._jax.device_put(arr)
                     self._jax.device_get(self._force_resident(buf))
+                    return buf
+
+                upfut = self._upload_pool.submit(ship)
+
+            def chain(host_stack=host_stack, upfut=upfut):
+                t0 = time.time()
+                if upfut is not None:
+                    buf = upfut.result()
+                else:
+                    buf = self._jax.device_put(host_stack)
+                    if self.force_resident:
+                        self._jax.device_get(self._force_resident(buf))
                 self._acc("upload_wire", time.time() - t0)
                 t0 = time.time()
                 packed, sims, self.state = self._step_chunk(
-                    self.det.variables, buf, self.state, thresh, ptf)
+                    self.det.variables, buf, self.state, thresh, ptf, wtf)
                 self._acc("chain_dispatch", time.time() - t0)
                 return self._fetch_pool.submit(
                     self._jax.device_get, (packed[:n_real], sims[:n_real]))
@@ -497,7 +645,7 @@ class PipelinedRunner:
         self._acc("stage_wait", time.time() - t0)
         t0 = time.time()
         outs = self._step_chunk(self.det.variables, frames, self.state,
-                                thresh, ptf)
+                                thresh, ptf, wtf)
         packed, sims, self.state = outs
         self._acc("dispatch", time.time() - t0)
         fut = self._fetch_pool.submit(self._jax.device_get,
@@ -532,9 +680,19 @@ class PipelinedRunner:
             image_bgr
         )
         trans_input = get_affine_transform(c, s, 0, [inp_w, inp_h])
-        warped = cv2.warpAffine(resized, trans_input, (inp_w, inp_h),
-                                flags=cv2.INTER_LINEAR)
+        if self._dw_mode:
+            # ship the RAW frame; the fused program warps it on device
+            # (ops/warp.py two-matmul separable warp)
+            from deft_tpu.ops.warp import separable_inverse_tf
+
+            warped = np.ascontiguousarray(resized)
+            warp_tf = separable_inverse_tf(c, s, inp_w, inp_h)
+        else:
+            warped = cv2.warpAffine(resized, trans_input, (inp_w, inp_h),
+                                    flags=cv2.INTER_LINEAR)
+            warp_tf = None
         frame_meta = {
+            "warp_tf": warp_tf,
             "c": c, "s": s,
             "out_height": inp_h // self.cfg.down_ratio,
             "out_width": inp_w // self.cfg.down_ratio,

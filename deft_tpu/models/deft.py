@@ -383,10 +383,24 @@ class DEFTNet(nn.Module):
         return self._sim_and_record(emb, n_valid, state, sims_quant,
                                     sim_window)
 
+    @staticmethod
+    def _warp_normalize(image, warp_tf, warp_out):
+        """Device-side input warp (Config.device_warp): raw uint8 frames +
+        the [6] separable inverse transform -> warped, normalized float32
+        (see ops/warp.py; replaces the host cv2.warpAffine,
+        reference detector.py:377-422)."""
+        from deft_tpu.ops.warp import warp_affine_separable
+
+        out = warp_affine_separable(image, warp_tf, warp_out[0], warp_out[1])
+        mean = jnp.asarray([0.40789654, 0.44719302, 0.47026115])
+        std = jnp.asarray([0.28863828, 0.27408164, 0.27809835])
+        return (out / 255.0 - mean) / std
+
     def frame_step(self, image, state, out_thresh, k: int = 100,
                    class_filter: int = -1, sims_quant: bool = False,
                    sim_window: int = 0, parity_tf=None,
-                   flip_test: bool = False, yuv_in: bool = False):
+                   flip_test: bool = False, yuv_in: bool = False,
+                   warp_tf=None, warp_out=None):
         """The fully fused per-frame tracking program (ONE host round trip).
 
         Runs detect, selects the valid detections (score >= out_thresh, and
@@ -416,6 +430,10 @@ class DEFTNet(nn.Module):
         Returns (dets, embeddings [K, E], sims [W, K, K+1], n_valid, state').
         """
         prev_frame = None
+        if warp_tf is not None:
+            assert not yuv_in and "prev_frame" not in state, (
+                "device_warp is exclusive with yuv/delta uploads")
+            image = self._warp_normalize(image, warp_tf, warp_out)
         if "prev_frame" in state:
             image = state["prev_frame"] + image        # uint8 wraps mod 256
             prev_frame = image
@@ -470,7 +488,8 @@ class DEFTNet(nn.Module):
     def frame_chunk(self, images, state, out_thresh, k: int = 100,
                     class_filter: int = -1, sims_quant: bool = False,
                     sim_window: int = 0, parity_tf=None,
-                    flip_test: bool = False, yuv_in: bool = False):
+                    flip_test: bool = False, yuv_in: bool = False,
+                    warp_tf=None, warp_out=None):
         """``frame_step`` scanned over a chunk of frames in ONE program.
 
         Ring-buffer updates happen in frame order inside the scan, so the
@@ -482,6 +501,11 @@ class DEFTNet(nn.Module):
         images: [T, H, W, 3] (uint8 ok).  Returns stacked per-frame outputs
         (leaf shapes [T, ...]) plus the final state.
         """
+        if warp_tf is not None:
+            # ONE batched warp for the whole chunk (two matmuls), then the
+            # scan sees pre-normalized float frames
+            images = self._warp_normalize(images, warp_tf, warp_out)
+
         def body(carry, image):
             packed, sims, new_state = self.frame_step(
                 image[None], carry, out_thresh, k=k,
@@ -497,7 +521,8 @@ class DEFTNet(nn.Module):
     def frame_chunk_batched(self, images, state, out_thresh, k: int = 100,
                             class_filter: int = -1, sims_quant: bool = False,
                             sim_window: int = 0, parity_tf=None,
-                            flip_test: bool = False, yuv_in: bool = False):
+                            flip_test: bool = False, yuv_in: bool = False,
+                            warp_tf=None, warp_out=None):
         """``frame_chunk`` with the model forward BATCHED over the chunk.
 
         The trunk/decode/embedding-extract of each frame is independent
@@ -525,6 +550,10 @@ class DEFTNet(nn.Module):
         else:
             new_prev = None
 
+        if warp_tf is not None:
+            assert not yuv_in and new_prev is None, (
+                "device_warp is exclusive with yuv/delta uploads")
+            images = self._warp_normalize(images, warp_tf, warp_out)
         x = self._decode_input(images, yuv_in)
         dets, emb = self.detect(x, k=k, parity_tf=parity_tf,
                                 flip_test=flip_test)

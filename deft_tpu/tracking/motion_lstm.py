@@ -95,12 +95,26 @@ class LSTMMotion:
         return np.asarray(h2), np.asarray(c2), preds
 
     def predict_batch(self, h, c, feats):
-        """Batched over tracks: [N,128],[N,128],[N,F] -> (h', c', [N,fut,4])."""
+        """Batched over tracks: [N,128],[N,128],[N,F] -> (h', c', [N,fut,4]).
+
+        N is padded to the next power of two so the jitted step compiles
+        once per BUCKET, not once per live-track count (the count changes
+        every frame)."""
+        n = int(np.shape(h)[0])
+        m = 1
+        while m < n:
+            m *= 2
+        if m != n:
+            pad = ((0, m - n), (0, 0))
+            h = np.pad(np.asarray(h, np.float32), pad)
+            c = np.pad(np.asarray(c, np.float32), pad)
+            feats = np.pad(np.asarray(feats, np.float32), pad)
         h2, c2, deltas = self._step(
             self.variables, jnp.asarray(h), jnp.asarray(c),
             jnp.asarray(feats, dtype=jnp.float32),
         )
-        return np.asarray(h2), np.asarray(c2), np.asarray(deltas)
+        return (np.asarray(h2)[:n], np.asarray(c2)[:n],
+                np.asarray(deltas)[:n])
 
     @staticmethod
     def gating_distance(mean, covariance, measurements, only_position=False,

@@ -76,3 +76,43 @@ def test_shift_moves_crop():
     p0 = affine_transform([50, 50], t0)
     p1 = affine_transform([50, 50], t1)
     assert p1[0] < p0[0]  # shifting the source right moves content left
+
+
+def test_device_warp_matches_cv2():
+    """warp_affine_separable must reproduce cv2.warpAffine INTER_LINEAR +
+    BORDER_CONSTANT(0) for the rot=0 preprocessing family (cv2 quantizes
+    bilinear weights to 5 bits -> ~1 LSB tolerance)."""
+    import cv2
+    import jax
+
+    from deft_tpu.ops.affine import get_affine_transform
+    from deft_tpu.ops.warp import separable_inverse_tf, warp_affine_separable
+
+    rng = np.random.RandomState(0)
+    for (h, w, out_h, out_w) in [(108, 192, 64, 96), (75, 100, 96, 64),
+                                 (64, 64, 64, 64)]:
+        img = rng.randint(0, 256, (h, w, 3), np.uint8)
+        c = np.array([w / 2.0, h / 2.0], np.float32)
+        s = max(h, w) * 1.0                      # fix_res geometry
+        trans = get_affine_transform(c, s, 0, [out_w, out_h])
+        ref = cv2.warpAffine(img, trans, (out_w, out_h),
+                             flags=cv2.INTER_LINEAR).astype(np.float32)
+        inv6 = separable_inverse_tf(c, s, out_w, out_h)
+        got = np.asarray(jax.jit(
+            lambda im, tf: warp_affine_separable(im, tf, out_h, out_w)
+        )(img[None], inv6))[0]
+        assert np.abs(got - ref).max() <= 2.0, (h, w, np.abs(got - ref).max())
+
+
+def test_device_warp_border_zero():
+    """Out-of-source regions must be exactly 0 like BORDER_CONSTANT."""
+    import jax
+
+    from deft_tpu.ops.warp import warp_affine_separable
+
+    img = np.full((1, 10, 10, 1), 255, np.uint8)
+    # shift far right/down: most of the output sees no source
+    inv6 = np.array([1.0, 0.0, 20.0, 0.0, 1.0, 20.0], np.float32)
+    out = np.asarray(jax.jit(
+        lambda im, tf: warp_affine_separable(im, tf, 16, 16))(img, inv6))
+    assert np.all(out == 0.0)

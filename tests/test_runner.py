@@ -361,3 +361,34 @@ def test_flip_test_mirror_consistency(detector):
     np.testing.assert_allclose(b2[0], out_w - 1 - b1[2], atol=0.1)
     np.testing.assert_allclose(b2[2], out_w - 1 - b1[0], atol=0.1)
     np.testing.assert_allclose(b2[1], b1[1], atol=1e-2)
+
+
+@pytest.mark.slow
+def test_device_warp_equivalence(detector):
+    """--device_warp (raw uint8 upload + on-device two-matmul separable warp,
+    ops/warp.py) must track like the host cv2.warpAffine path: identical
+    id sequences on the synthetic benchmark (the warp parity is ~1 uint8
+    LSB -- cv2's 5-bit fixed-point weights -- far below detection noise)."""
+    from deft_tpu.inference.detector import Detector
+    from deft_tpu.inference.runner import PipelinedRunner
+
+    frames = [make_frame(t) for t in range(8)]
+
+    det_h = Detector(detector.cfg, model=detector.model,
+                     variables=detector.variables)
+    r_host = PipelinedRunner(det_h, depth=2, chunk=2)
+    ids_host = ids_of(r_host.track_sequence(frames))
+
+    cfg_dw = detector.cfg.replace(device_warp=True)
+    det_d = Detector(cfg_dw, model=detector.model,
+                     variables=detector.variables)
+    r_dev = PipelinedRunner(det_d, depth=2, chunk=2)
+    assert r_dev._dw_mode
+    ids_dev = ids_of(r_dev.track_sequence(frames))
+
+    def canonical(seq):
+        remap = {}
+        return [[remap.setdefault(i, len(remap)) for i in fr] for fr in seq]
+
+    assert len(ids_dev) == 8
+    assert canonical(ids_host) == canonical(ids_dev)

@@ -24,7 +24,9 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU (the box exports JAX_PLATFORMS=axon): this harness measures HOST
+# cascade cost in isolation; device-call costs belong to bench.py on the TPU
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 
 def synth_frame_dets(t: int, n: int, rng) -> list:
@@ -73,6 +75,9 @@ def main():
     ap.add_argument("--cprofile", action="store_true")
     ap.add_argument("--worker", action="store_true",
                     help="run updates through the CascadeWorker (threaded)")
+    ap.add_argument("--lstm", action="store_true",
+                    help="LSTM motion path (nuScenes default): exercises the "
+                         "batched end-of-frame predict flush")
     ap.add_argument("--churn", action="store_true",
                     help="untrained-net regime: random boxes + noise sims "
                          "(tracks churn, pools grow to several hundred -- "
@@ -83,8 +88,13 @@ def main():
 
     rng = np.random.RandomState(0)
     max_obj = args.dets
+    motion = None
+    if args.lstm:
+        from deft_tpu.tracking.motion_lstm import LSTMMotion
+
+        motion = LSTMMotion(args.dataset)
     tracker = Tracker(args.dataset, max_obj, 128,
-                      similarity_fn=None, use_lstm=False)
+                      similarity_fn=None, use_lstm=args.lstm, motion=motion)
     window = 12
 
     # identity bookkeeping so sims reward true matches
