@@ -213,8 +213,11 @@ class STrack(BaseTrack):
         self.last_rot_y = 0.0
         self.first_time = True
         self.last_frame_id = -1
-        self.hn = np.zeros((1, 128), np.float32)
-        self.cn = np.zeros((1, 128), np.float32)
+        # hidden state allocated only on the LSTM path (the KF cascade
+        # creates ~100 detection STracks per frame that never touch it)
+        if use_lstm:
+            self.hn = np.zeros((1, 128), np.float32)
+            self.cn = np.zeros((1, 128), np.float32)
         self._pending_feat = None   # set by update_lstm_features*, flushed
                                     # batched by Tracker._flush_lstm
         self.future_predictions: Dict[int, np.ndarray] = {}
