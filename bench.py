@@ -70,6 +70,9 @@ def main():
                     help="warp the input affine on device (two MXU matmuls; "
                          "raw uint8 uploads -- wins on locally-attached "
                          "TPUs, costs 4x the wire bytes through a relay)")
+    ap.add_argument("--dcn-layer-radii", type=str, default="",
+                    help="per-layer DCN clamp radii (JSON path-substring -> "
+                         "radius; from tools/measure_dcn_offsets.py)")
     ap.add_argument("--yuv", action="store_true",
                     help="upload planar YUV 4:2:0 frames (HALF the wire "
                          "bytes; chroma 2x2-averaged like the H.264 yuv420p "
@@ -94,13 +97,15 @@ def main():
                          track_thresh=1e-3, compute_dtype=dtype,
                          sims_quant=True, delta_upload=args.delta,
                          chunk_batched=args.chunk_batched,
-                         yuv_upload=args.yuv, device_warp=args.device_warp)
+                         yuv_upload=args.yuv, device_warp=args.device_warp,
+                         dcn_layer_radii=args.dcn_layer_radii)
         frames, warmup = 12, 4
     else:
         cfg = mot_config(track_thresh=1e-3, compute_dtype=dtype,
                          sims_quant=True, delta_upload=args.delta,
                          chunk_batched=args.chunk_batched,
-                         yuv_upload=args.yuv, device_warp=args.device_warp)
+                         yuv_upload=args.yuv, device_warp=args.device_warp,
+                         dcn_layer_radii=args.dcn_layer_radii)
         frames, warmup = args.frames, args.warmup
 
     det = Detector(cfg)

@@ -171,6 +171,13 @@ class Config:
     # well inside +-4 px, and the clamp sets the onehot/shift kernels' halo
     # size and unrolled-shift count (compile + run time grow with it)
     dcn_offset_range: int = 4
+    # per-layer radius overrides as a JSON object mapping a substring of the
+    # DCN layer's module path (e.g. "ida_0/node_1") to its clamp radius;
+    # layers not matched keep dcn_offset_range.  Produce the value with
+    # tools/measure_dcn_offsets.py (it prints the exact per-layer radii of a
+    # trained checkpoint); the pallas/onehot kernels' work scales with
+    # (2r+5)^2 resp. (2r+1), so shrinking quiet layers is pure speed.
+    dcn_layer_radii: str = ""
     sims_quant: bool = False                  # uint8 similarity transfer
     # upload per-frame uint8 DELTAS against the previous warped frame and
     # reconstruct on device (wraparound arithmetic -- bit-exact).  Wins when

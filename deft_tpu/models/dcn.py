@@ -25,6 +25,8 @@ into this layout.
 
 from __future__ import annotations
 
+from typing import Tuple
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -94,11 +96,24 @@ class DCNv2(nn.Module):
     dtype: object = None
     impl: str = "gather"        # gather (exact) | shift | pallas (R-bounded)
     offset_range: int = 4
+    # ((path-substring, radius), ...) most-specific-first; the first pattern
+    # contained in this module's flax path overrides offset_range.  Static at
+    # trace time, so each layer compiles with its own clamp/halo size.
+    offset_range_map: Tuple[Tuple[str, int], ...] = ()
+
+    def _resolve_radius(self) -> int:
+        if self.offset_range_map:
+            path = "/".join(str(p) for p in self.scope.path)
+            for pat, r in self.offset_range_map:
+                if pat in path:
+                    return int(r)
+        return self.offset_range
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         kk = self.kernel * self.kernel
+        radius = self._resolve_radius()
 
         om = nn.Conv(
             3 * kk,
@@ -165,7 +180,7 @@ class DCNv2(nn.Module):
                  else weight)
             if b == 1:
                 out = fn(x[0], offsets[0], mask[0], w, bias,
-                         radius=self.offset_range, kernel=self.kernel)[None]
+                         radius=radius, kernel=self.kernel)[None]
             else:
                 # SEQUENTIAL over the batch (lax.map = scan), not vmap: the
                 # backward of the checkpointed per-sample op then holds ONE
@@ -176,7 +191,7 @@ class DCNv2(nn.Module):
                 # training scale keep the MXU busy without batch parallelism.
                 out = jax.lax.map(
                     lambda args: fn(*args, w, bias,
-                                    radius=self.offset_range,
+                                    radius=radius,
                                     kernel=self.kernel),
                     (x, offsets, mask),
                 )

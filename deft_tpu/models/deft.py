@@ -100,6 +100,9 @@ class DEFTNet(nn.Module):
     dataset: str = "mot"
     dla_node: str = "dcn"
     dcn_offset_range: int = 4
+    # per-layer radius overrides ((path-substring, radius) pairs, most
+    # specific first) resolved by DCNv2 against its own module path
+    dcn_layer_radii: Tuple[Tuple[str, int], ...] = ()
     max_object: int = 100
     prior_bias: float = -4.6
     head_kernel: int = 3
@@ -117,6 +120,7 @@ class DEFTNet(nn.Module):
         self.trunk = DLASeg(
             node_type=self.dla_node,
             offset_range=self.dcn_offset_range,
+            offset_range_map=self.dcn_layer_radii,
             with_pre_img=self.with_pre_img,
             with_pre_hm=self.with_pre_hm,
             levels=levels,

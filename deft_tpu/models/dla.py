@@ -228,11 +228,13 @@ class DeformNode(nn.Module):
     dtype: Optional[str] = None
     dcn_impl: str = "gather"
     dcn_offset_range: int = 4
+    offset_range_map: Tuple[Tuple[str, int], ...] = ()
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = DCNv2(self.features, dtype=self.dtype, impl=self.dcn_impl,
-                  offset_range=self.dcn_offset_range, name="conv")(x)
+                  offset_range=self.dcn_offset_range,
+                  offset_range_map=self.offset_range_map, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=BN_EPS, dtype=self.dtype, name="actf_bn")(x)
         return nn.relu(x)
@@ -276,13 +278,15 @@ class ConvNode(nn.Module):
 
 
 def _make_node(node_type: str, features: int, name: str, dtype=None,
-               offset_range: int = 4):
+               offset_range: int = 4,
+               offset_range_map: Tuple[Tuple[str, int], ...] = ()):
     if node_type.startswith("dcn"):
         impl = {"dcn": "gather", "dcn_shift": "shift",
                 "dcn_pallas": "pallas", "dcn_onehot": "onehot",
                 "dcn_pallas_cm": "pallas_cm", "dcn_hybrid": "hybrid"}[node_type]
         return DeformNode(features, dtype=dtype, dcn_impl=impl,
-                          dcn_offset_range=offset_range, name=name)
+                          dcn_offset_range=offset_range,
+                          offset_range_map=offset_range_map, name=name)
     if node_type == "conv":
         return ConvNode(features, dtype=dtype, name=name)
     if node_type == "gcn":
@@ -308,6 +312,7 @@ class IDAUp(nn.Module):
     node_type: str = "dcn"
     dtype: Optional[str] = None
     offset_range: int = 4
+    offset_range_map: Tuple[Tuple[str, int], ...] = ()
 
     @nn.compact
     def __call__(self, layers: List[jnp.ndarray], startp: int, endp: int,
@@ -315,9 +320,11 @@ class IDAUp(nn.Module):
         for i in range(startp + 1, endp):
             j = i - startp
             proj = _make_node(self.node_type, self.features, f"proj_{j}",
-                              self.dtype, self.offset_range)
+                              self.dtype, self.offset_range,
+                              self.offset_range_map)
             node = _make_node(self.node_type, self.features, f"node_{j}",
-                              self.dtype, self.offset_range)
+                              self.dtype, self.offset_range,
+                              self.offset_range_map)
             f = int(self.up_factors[j])
             x = proj(layers[i], train)
             if f > 1:
@@ -334,6 +341,7 @@ class DLAUp(nn.Module):
     node_type: str = "dcn"
     dtype: Optional[str] = None
     offset_range: int = 4
+    offset_range_map: Tuple[Tuple[str, int], ...] = ()
 
     @nn.compact
     def __call__(self, layers: List[jnp.ndarray], train: bool = False):
@@ -354,6 +362,7 @@ class DLAUp(nn.Module):
                 node_type=self.node_type,
                 dtype=self.dtype,
                 offset_range=self.offset_range,
+                offset_range_map=self.offset_range_map,
                 name=f"ida_{i}",
             )
             ida(layers, len(layers) - i - 2, len(layers), train)
@@ -376,6 +385,7 @@ class DLASeg(nn.Module):
     down_ratio: int = 4
     last_level: int = 5
     offset_range: int = 4
+    offset_range_map: Tuple[Tuple[str, int], ...] = ()
     with_pre_img: bool = False
     with_pre_hm: bool = False
     channels: Sequence[int] = DLA34_CHANNELS
@@ -399,7 +409,8 @@ class DLASeg(nn.Module):
 
         dla_up_out = DLAUp(
             first_level, self.channels[first_level:], self.node_type,
-            dtype=self.dtype, offset_range=self.offset_range, name="dla_up"
+            dtype=self.dtype, offset_range=self.offset_range,
+            offset_range_map=self.offset_range_map, name="dla_up"
         )(base_outs[first_level:], train)
         feature_maps += list(dla_up_out)
 
@@ -410,6 +421,7 @@ class DLASeg(nn.Module):
             self.node_type,
             dtype=self.dtype,
             offset_range=self.offset_range,
+            offset_range_map=self.offset_range_map,
             name="ida_up",
         )(y, 0, len(y), train)
         feature_maps += list(y)

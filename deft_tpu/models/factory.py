@@ -18,6 +18,19 @@ from deft_tpu.models.deft import DEFTNet
 _SUPPORTED = ("dla", "dlav0", "resdcn", "res", "generic", "mobilenet")
 
 
+def parse_layer_radii(spec: str) -> Tuple[Tuple[str, int], ...]:
+    """Parse ``cfg.dcn_layer_radii`` (JSON object: path-substring -> radius)
+    into the hashable tuple the flax modules carry.  Longest pattern first so
+    the most specific match wins in DCNv2's path lookup."""
+    if not spec:
+        return ()
+    import json
+
+    m = json.loads(spec)
+    return tuple(sorted(((str(k), int(v)) for k, v in m.items()),
+                        key=lambda kv: -len(kv[0])))
+
+
 def create_model(arch: str, cfg: Config) -> DEFTNet:
     num_layers = int(arch[arch.find("_") + 1:]) if "_" in arch else 0
     name = arch[: arch.find("_")] if "_" in arch else arch
@@ -43,6 +56,7 @@ def create_model(arch: str, cfg: Config) -> DEFTNet:
             dataset=cfg.dataset,
             dla_node=node,
             dcn_offset_range=cfg.dcn_offset_range,
+            dcn_layer_radii=parse_layer_radii(cfg.dcn_layer_radii),
             max_object=cfg.max_object,
             prior_bias=cfg.prior_bias,
             head_kernel=cfg.head_kernel,

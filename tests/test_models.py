@@ -205,3 +205,53 @@ def test_model_gradients_flow(small_model):
     # backbone gets gradient
     total = sum(float(jnp.abs(g).sum()) for g in flat)
     assert total > 0
+
+
+def test_dcn_per_layer_radii(rng):
+    """Per-layer radius overrides (--dcn_layer_radii): a pattern matching
+    this layer's flax path shrinks the clamp (output changes once offsets
+    exceed the smaller radius); a non-matching pattern leaves the layer on
+    the global radius (bit-identical output)."""
+    from deft_tpu.models.factory import parse_layer_radii
+
+    import flax.linen as nn
+
+    x = rng.rand(1, 8, 16, 4).astype(np.float32)
+
+    class Node(nn.Module):
+        radii_map: tuple = ()
+
+        @nn.compact
+        def __call__(self, x):
+            return DCNv2(features=6, impl="onehot", offset_range=4,
+                         offset_range_map=self.radii_map, name="conv")(x)
+
+    class Neck(nn.Module):
+        """Stands in for IDAUp: DCNv2 lives at path node_1/conv like the
+        real trunk (the radius map keys on that path)."""
+        radii_map: tuple = ()
+
+        @nn.compact
+        def __call__(self, x):
+            return Node(radii_map=self.radii_map, name="node_1")(x)
+
+    def build(radii_map):
+        neck = Neck(radii_map=radii_map)
+        variables = neck.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        # push every dy/dx offset to +3.5 (inside r=4, outside r=2)
+        params = jax.tree_util.tree_map(np.asarray, variables["params"])
+        dcn = params["node_1"]["conv"]
+        dcn["conv_offset_mask"]["bias"] = np.concatenate(
+            [np.full(18, 3.5, np.float32), np.zeros(9, np.float32)])
+        return neck, {"params": params}
+
+    outs = {}
+    for name, spec in [("base", ""),
+                       ("hit", '{"node_1/conv": 2}'),
+                       ("miss", '{"some_other_layer": 2}')]:
+        neck, variables = build(parse_layer_radii(spec))
+        outs[name] = np.asarray(neck.apply(variables, jnp.asarray(x)))
+
+    np.testing.assert_array_equal(outs["base"], outs["miss"])
+    assert not np.allclose(outs["base"], outs["hit"]), \
+        "r=2 clamp should change the output for 3.5-px offsets"

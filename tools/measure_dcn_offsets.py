@@ -98,6 +98,19 @@ def main():
     if out:
         rmax = max(o["exact_radius"] for o in out)
         print(f"# smallest exact global radius for this checkpoint: {rmax}")
+        # ready-to-paste per-layer override flag (models/factory.py
+        # parse_layer_radii): pattern = module path of the DCN layer,
+        # radius = smallest exact clamp observed.  Layers already at the
+        # default radius are omitted.
+        radii = {}
+        for o in out:
+            pat = o["layer"].lstrip("/")
+            if pat.endswith("/conv_offset_mask"):
+                pat = pat[: -len("/conv_offset_mask")]
+            if o["exact_radius"] < 4:
+                radii[pat] = max(o["exact_radius"], 1)
+        if radii:
+            print(f"# --dcn_layer_radii '{json.dumps(radii)}'")
 
 
 if __name__ == "__main__":
