@@ -23,6 +23,7 @@ the whole module is testable without a network.
 
 from __future__ import annotations
 
+from collections import deque
 from typing import Callable, Dict, List, Optional, Sequence
 
 import numpy as np
@@ -36,6 +37,10 @@ MAX_RECORD_FRAME = 50
 DECAY = 1.0
 DECAY2 = 0.01
 MAX_TRACK_NODE = 50
+
+
+_EYE4 = np.eye(4)
+_EYE4.setflags(write=False)
 
 
 def freshness_window(dataset: str) -> int:
@@ -186,7 +191,10 @@ class STrack(BaseTrack):
                  org_ddd_box=None, classe=None, ddd_submission=None):
         self._tlwh = np.asarray(tlwh, dtype=np.float64)
         self.kalman_filter = None
-        self.mean, self.covariance = None, np.eye(4)
+        # shared read-only placeholder: every consumer ASSIGNS a fresh
+        # covariance (KF initiate/update/predict, _empirical_cov); ~100
+        # detection STracks are built per frame and most never activate
+        self.mean, self.covariance = None, _EYE4
         self.is_activated = False
         self.depth = depth
         self.score = score
@@ -195,7 +203,6 @@ class STrack(BaseTrack):
         self.dataset = dataset
         self.use_lstm = use_lstm
 
-        from collections import deque
         # only the newest <= mm+1 nodes feed get_similarity (tracker.py:237-
         # 250 uses the last mm rows); cap the history so per-frame cost stays
         # O(1) per track instead of growing with track age
@@ -649,8 +656,12 @@ class Tracker:
         if len(kf_pairs) >= 2:
             means = np.stack([t.mean for t, _ in kf_pairs])
             covs = np.stack([t.covariance for t, _ in kf_pairs])
-            meas = np.stack([STrack.tlwh_to_xyah(d.tlwh)
-                             for _, d in kf_pairs])
+            # batched tlwh -> xyah (one vectorized pass, not N method calls)
+            meas = np.stack([d.tlwh for _, d in kf_pairs])
+            meas[:, :2] += meas[:, 2:] / 2
+            hs = meas[:, 3].copy()
+            hs[hs == 0] = 1e-6
+            meas[:, 2] /= hs
             nm, nc = self.kalman_filter.multi_update(means, covs, meas)
             results = {id(t): (nm[i], nc[i])
                        for i, (t, _) in enumerate(kf_pairs)}

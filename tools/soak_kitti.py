@@ -75,6 +75,9 @@ def main():
     ap.add_argument("--exp_id", default="kitti_soak")
     ap.add_argument("--keep_data", action="store_true",
                     help="reuse an existing generated fixture")
+    ap.add_argument("--skip_train", action="store_true",
+                    help="test+eval an already-trained model_last only "
+                         "(resume after an interrupted training run)")
     args = ap.parse_args()
 
     if args.smoke:
@@ -97,12 +100,13 @@ def main():
               "--exp_id", args.exp_id,
               "--data_dir", args.data_root,
               "--input_h", str(args.input_h), "--input_w", str(args.input_w)]
-    run([sys.executable, "train.py", *common,
-         "--dataset_version", "train_half",
-         "--batch_size", str(args.batch_size),
-         "--num_epochs", str(args.epochs),
-         "--lr_step", str(max(args.epochs * 3 // 4, 1)),
-         "--num_workers", "2"])
+    if not args.skip_train:
+        run([sys.executable, "train.py", *common,
+             "--dataset_version", "train_half",
+             "--batch_size", str(args.batch_size),
+             "--num_epochs", str(args.epochs),
+             "--lr_step", str(max(args.epochs * 3 // 4, 1)),
+             "--num_workers", "2"])
 
     save_dir = os.path.join(REPO, "exp", "tracking", args.exp_id)
     run([sys.executable, "test.py", *common,
