@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--input_w", type=int, default=960)
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--arch", default="dla_34")
+    ap.add_argument("--images", default="",
+                    help="directory of real frames (png/jpg) to probe with "
+                         "instead of synthetic noise; frames are resized to "
+                         "input_h x input_w")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -47,13 +51,36 @@ def main():
     variables = load_checkpoint(args.load_model, model, cfg)
 
     rng = np.random.RandomState(0)
+    real_paths = []
+    if args.images:
+        import glob as _glob
+
+        for ext in ("*.png", "*.jpg", "*.jpeg"):
+            real_paths += _glob.glob(os.path.join(args.images, "**", ext),
+                                     recursive=True)
+        real_paths.sort()
+        if not real_paths:
+            raise SystemExit(f"no images under {args.images}")
+        # spread probes across the directory instead of the first N frames
+        step = max(len(real_paths) // args.frames, 1)
+        real_paths = real_paths[::step][: args.frames]
+        print(f"# probing {len(real_paths)} real frames from {args.images}")
+
     stats = {}
     for t in range(args.frames):
-        # natural-ish frames: smooth low-frequency content + texture noise
-        base = rng.normal(0, 1, (args.input_h // 8, args.input_w // 8, 3))
-        img = np.kron(base, np.ones((8, 8, 1)))
-        img = img + rng.normal(0, 0.3, img.shape)
-        img = ((img - img.min()) / (np.ptp(img) + 1e-6) * 255).astype(np.uint8)
+        if real_paths:
+            import cv2
+
+            img = cv2.imread(real_paths[t % len(real_paths)])
+            img = cv2.resize(img, (args.input_w, args.input_h))
+        else:
+            # natural-ish frames: smooth low-frequency content + texture
+            # noise
+            base = rng.normal(0, 1, (args.input_h // 8, args.input_w // 8, 3))
+            img = np.kron(base, np.ones((8, 8, 1)))
+            img = img + rng.normal(0, 0.3, img.shape)
+            img = ((img - img.min()) / (np.ptp(img) + 1e-6)
+                   * 255).astype(np.uint8)
         # img2feats feeds the trunk directly (no _maybe_normalize), so apply
         # the standard input normalization here (models/deft.py:278-286)
         mean = np.array([0.40789654, 0.44719302, 0.47026115], np.float32)
