@@ -294,7 +294,8 @@ def main():
     for k in main_keys:
         if buckets.get(k):
             out[f"t_{k}_ms"] = round(buckets[k], 1)
-    for k in ("upload_wire", "chain_dispatch", "fetch_wait", "cascade"):
+    for k in ("upload_wire", "chain_dispatch", "fetch_wait", "cascade",
+              "casc_post", "casc_desims", "casc_track"):
         if k not in main_keys and buckets.get(k):
             out[f"t_{k}_ms"] = round(buckets[k], 1)
     print(json.dumps(out))
@@ -311,7 +312,8 @@ def main():
                       if buckets.get(k))
     ostr = ", ".join(
         f"{k} {buckets.get(k, 0.0):.1f}"
-        for k in ("upload_wire", "chain_dispatch", "fetch_wait", "cascade")
+        for k in ("upload_wire", "chain_dispatch", "fetch_wait", "cascade",
+                  "casc_post", "casc_desims", "casc_track")
         if k not in main_keys and buckets.get(k))
     print(f"# e2e attribution (median run, main-thread wall): {bstr} "
           f"= {attributed:.1f} of {e2e_ms:.1f} ms/frame "

@@ -489,6 +489,8 @@ class PipelinedRunner:
         t0 = time.time()
         packed, sims = item["future"].result()
         self._acc("fetch_wait", time.time() - t0)
+        # sub-buckets split the worker-side "cascade" total so the bench
+        # attributes post-process vs dequantize vs the tracker itself
         t0 = time.time()
         meta = item["meta"]
         dets, n_valid = unpack_dets(np.asarray(packed), self._layout,
@@ -499,11 +501,17 @@ class PipelinedRunner:
         if self.cfg.dataset == "kitti_tracking":
             results = [d for d in results if d["class"] == 2]
         results = results[:n_valid] if len(results) > n_valid else results
+        t1 = time.time()
+        self._acc("casc_post", t1 - t0)
         sims = self._desims(sims)
+        t2 = time.time()
+        self._acc("casc_desims", t2 - t1)
         out = self.det.tracker.update(results, None, sims=sims)
         if self.cascade_async:
             out = [TrackView(t) for t in out]
-        self._acc("cascade", time.time() - t0)
+        t3 = time.time()
+        self._acc("casc_track", t3 - t2)
+        self._acc("cascade", t3 - t0)
         self._frames_done += 1
         return out
 
