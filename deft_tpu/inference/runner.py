@@ -152,6 +152,11 @@ class PipelinedRunner:
                              "--yuv_upload/--delta_upload (the device warp "
                              "consumes RAW frames)")
         warp_out = (cfg.input_h, cfg.input_w) if self._dw_mode else None
+        # constant per-frame input geometry (fix_res): every frame warps to
+        # [input_h, input_w], enabling the pooled-slab upload fast path
+        self._const_geom = (not cfg.keep_res and cfg.fix_short <= 0
+                            and cfg.input_h > 0 and cfg.input_w > 0)
+        self._stack_pool: List[np.ndarray] = []
 
         def step(variables, image, state, thresh, parity_tf, warp_tf):
             return model.apply(
@@ -355,6 +360,7 @@ class PipelinedRunner:
         self._pending: List[Dict] = []
         self._casc_futs: List = []
         self._chunk_buf: List = []
+        self._cur_stack: Optional[np.ndarray] = None
         self._ring_dirty = False
         self.det.reset_tracking()
 
@@ -520,7 +526,25 @@ class PipelinedRunner:
         chunked, a single track list otherwise) once the pipeline is full,
         else None."""
         t0 = time.time()
-        warped, frame_meta = self.warp(image_bgr, meta)
+        # slab fast path: warp straight into a slot of a pooled
+        # [chunk, H, W, 3] host buffer so _dispatch_chunk ships it without
+        # the per-chunk np.stack copy (the "host_prep" bucket).  Only under
+        # constant fix_res geometry and identity wire encoding; every other
+        # combination falls back to the copy path transparently.
+        dst = None
+        if (self.stacked and self.chunk > 1 and self._const_geom
+                and not self._delta_mode and not self._yuv_mode
+                and not self._dw_mode):
+            if not self._chunk_buf:
+                self._cur_stack = (self._stack_pool.pop()
+                                   if self._stack_pool else None)
+                if (self._cur_stack is None
+                        or self._cur_stack.shape[0] != self.chunk):
+                    self._cur_stack = np.empty(
+                        (self.chunk, self.cfg.input_h, self.cfg.input_w, 3),
+                        np.uint8)
+            dst = self._cur_stack[len(self._chunk_buf)]
+        warped, frame_meta = self.warp(image_bgr, meta, dst=dst)
         self._acc("warp", time.time() - t0)
         return self.submit_warped(warped, frame_meta)
 
@@ -609,7 +633,21 @@ class PipelinedRunner:
             # upload wire time overlaps the main thread's warping and the
             # donated state token chains in submission order
             t0 = time.time()
-            host_stack = np.stack(stack)
+            slab = self._cur_stack
+            if (slab is not None and n_real > 0
+                    and all(np.shares_memory(w, slab) for w in
+                            stack[:n_real])):
+                # frames were warped straight into the pooled slab
+                # (submit()'s fast path) -- no stack copy; pad a partial
+                # final chunk in place
+                for i in range(n_real, self.chunk):
+                    np.copyto(slab[i], slab[n_real - 1])
+                host_stack = slab
+                recycle = slab
+            else:
+                host_stack = np.stack(stack)
+                recycle = None
+            self._cur_stack = None
             self._acc("host_prep", time.time() - t0)
 
             upfut = None
@@ -625,7 +663,7 @@ class PipelinedRunner:
 
                 upfut = self._upload_pool.submit(ship)
 
-            def chain(host_stack=host_stack, upfut=upfut):
+            def chain(host_stack=host_stack, upfut=upfut, recycle=recycle):
                 t0 = time.time()
                 if upfut is not None:
                     buf = upfut.result()
@@ -638,8 +676,19 @@ class PipelinedRunner:
                 packed, sims, self.state = self._step_chunk(
                     self.det.variables, buf, self.state, thresh, ptf, wtf)
                 self._acc("chain_dispatch", time.time() - t0)
-                return self._fetch_pool.submit(
+                fut = self._fetch_pool.submit(
                     self._jax.device_get, (packed[:n_real], sims[:n_real]))
+                if recycle is not None:
+                    # the slab may be ALIASED by the device buffer (CPU
+                    # zero-copy device_put) or still shipping (lazy relay
+                    # put); it is provably consumed only once the chunk's
+                    # OUTPUTS exist -- recycle when the fetch resolves
+                    def _recycle(_f, slab=recycle):
+                        if len(self._stack_pool) < self.depth + 2:
+                            self._stack_pool.append(slab)
+
+                    fut.add_done_callback(_recycle)
+                return fut
 
             self._pending.append({"chain": self._chain_pool.submit(chain),
                                   "metas": metas})
@@ -678,8 +727,13 @@ class PipelinedRunner:
             }))
         return results
 
-    def warp(self, image_bgr: np.ndarray, meta: Optional[dict] = None):
-        """Host half of preprocessing; safe to run on worker threads."""
+    def warp(self, image_bgr: np.ndarray, meta: Optional[dict] = None,
+             dst: Optional[np.ndarray] = None):
+        """Host half of preprocessing; safe to run on worker threads.
+
+        ``dst``: optional uint8 [inp_h, inp_w, 3] output buffer (a slab slot
+        from ``submit``'s pooled chunk buffer); used only when its shape
+        matches this frame's input geometry."""
         import cv2
 
         from deft_tpu.ops.affine import get_affine_transform
@@ -696,8 +750,12 @@ class PipelinedRunner:
             warped = np.ascontiguousarray(resized)
             warp_tf = separable_inverse_tf(c, s, inp_w, inp_h)
         else:
-            warped = cv2.warpAffine(resized, trans_input, (inp_w, inp_h),
-                                    flags=cv2.INTER_LINEAR)
+            if dst is not None and dst.shape == (inp_h, inp_w, 3):
+                warped = cv2.warpAffine(resized, trans_input, (inp_w, inp_h),
+                                        dst=dst, flags=cv2.INTER_LINEAR)
+            else:
+                warped = cv2.warpAffine(resized, trans_input, (inp_w, inp_h),
+                                        flags=cv2.INTER_LINEAR)
             warp_tf = None
         frame_meta = {
             "warp_tf": warp_tf,

@@ -83,6 +83,24 @@ formulation, and a 4-tap formulation needs per-pixel gathers that defeat
 the TPU's vector memory.  The VPU-bound floor of the product-space kernel
 at the 136x240x64 layer is ~1.2 ms (2.27 G f32 FMA-pairs / 3.7 T/s);
 pallas_cm measures 2.8 ms.
+
+Round-5 sweep (v5e, tools/bench_dcn.py --iters 30, trained offset regime;
+full table in STATUS.md r5 item 1, raw logs exp/r5_measurements/):
+  * the hybrid C<=128 crossover is CONFIRMED on silicon: gated pallas_cm
+    wins the three large-spatial/small-C shapes (1.74/1.18/1.43 ms at
+    r=2), onehot wins all four C>=256 shapes (0.90-1.17 ms);
+  * the offset GATE (per-tile min/max bounds skipping provably-zero
+    (tap, shift) blocks via pl.when) never loses: ~43% pruned at trained
+    offsets, worst-case uniform still beats ungated;
+  * shrinking the static radius r=4 -> r=2 is worth ~20% of standalone
+    DCN time model-wide (hybrid-best weighted 53.6 -> 43.0 ms standalone;
+    onehot-only 20.8 -> 17.1 ms in the cleaner second sweep); trained
+    checkpoints keep |offset| < ~2 (tools/measure_dcn_offsets.py), so
+    per-layer radii from the measured distributions (config
+    dcn_layer_radii) are numerically exact.
+  * the whole-model program overlaps most standalone DCN time: a jax
+    profiler trace (STATUS r5 item 5) puts the full fused frame program
+    at 11.55 ms/frame device-busy at 544x960 bf16.
 """
 
 from __future__ import annotations
